@@ -1,0 +1,494 @@
+"""The deck layer: VPIC's input-deck vocabulary as a Python builder.
+
+The reference compiles user C++ decks *into* the binary (bin/vpic.in +
+deck/wrapper.h); here a deck is ordinary Python driving a ``Simulation``
+builder with the same vocabulary (define_units, define_timestep,
+define_periodic_grid, set_domain_field_bc, define_material,
+define_field_array, define_species, set_region_field, inject_particle, ...),
+which compiles to a static ``Grid`` + ``MaterialCoeffs`` and a ``SimState``
+pytree, plus a single jitted ``advance`` step (src/vpic/advance.cc:15-208).
+
+Host-side staging (particle injection, region rasterization) runs in numpy at
+double precision exactly like the reference's deck execution
+(misc.cc:16-100); everything per-step runs on device.
+"""
+
+from __future__ import annotations
+
+import math
+from dataclasses import dataclass, field as dfield
+from typing import Callable, List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .grid import (ABSORB_FIELDS, ABSORB_PARTICLES, BOUNDARY, FACE_AXIS,
+                   FACE_SIDE, PEC, PERIODIC, P_PERIODIC, REFLECT_PARTICLES,
+                   Grid, partition_absorbing_box, partition_metal_box,
+                   partition_periodic_box)
+from .ops import fields as F
+from .ops import interp as I
+from .ops import push as P
+from .state import (FieldState, MaterialCoeffs, SimState, SpeciesParams,
+                    SpeciesState)
+
+everywhere = lambda x, y, z: True
+
+
+@dataclass
+class Material:
+    name: str
+    epsx: float = 1.0
+    epsy: float = 1.0
+    epsz: float = 1.0
+    mux: float = 1.0
+    muy: float = 1.0
+    muz: float = 1.0
+    sigmax: float = 0.0
+    sigmay: float = 0.0
+    sigmaz: float = 0.0
+    zetax: float = 0.0
+    zetay: float = 0.0
+    zetaz: float = 0.0
+    id: int = 0
+
+
+@dataclass
+class _StagedSpecies:
+    params: SpeciesParams
+    xs: list = dfield(default_factory=list)      # staged injections (host)
+
+
+class Simulation:
+    """vpic_simulation analogue (src/vpic/vpic.h:120-671)."""
+
+    def __init__(self, seed: int = 0):
+        self.grid: Optional[Grid] = None
+        self.materials: List[Material] = []
+        self.species: List[_StagedSpecies] = []
+        self.damp = 0.0
+        self._cvac = 1.0
+        self._eps0 = 1.0
+        self._dt = 0.0
+        # High-level step-loop parameters (vpic.h:133-173)
+        self.num_step = 0
+        self.status_interval = 0
+        self.sync_shared_interval = 0
+        self.clean_div_e_interval = 0
+        self.clean_div_b_interval = 0
+        self.num_div_e_round = 2
+        self.num_div_b_round = 2
+        self.num_comm_round = 3
+        self.max_streak = 4
+        # User hooks (deck sections): callables state -> state pieces.
+        self.user_field_injection = None      # (FieldState, step) -> FieldState
+        self.user_current_injection = None    # (FieldState, step) -> FieldState
+        self.user_particle_injection = None
+        self.user_particle_collisions = None
+        self.collision_ops: list = []
+        self.emitters: list = []
+        self._entropy = np.random.RandomState(seed)
+        self._sync_entropy = np.random.RandomState(seed + 0x5EED)
+        self._field_init: Optional[FieldState] = None
+        self._rank = 0
+
+    # ---------------- units / grid ----------------
+
+    def seed_entropy(self, seed: int):
+        self._entropy = np.random.RandomState(seed + self._rank)
+        self._sync_entropy = np.random.RandomState(seed + 0x5EED)
+
+    def rng(self, _i: int = 0) -> np.random.RandomState:
+        """Deck-level RNG pool handle (rng(i) in decks)."""
+        return self._entropy
+
+    def sync_rng(self, _i: int = 0) -> np.random.RandomState:
+        return self._sync_entropy
+
+    def uniform(self, rng, lo, hi):
+        return lo + (hi - lo) * rng.random_sample()
+
+    def normal(self, rng, mu, sigma):
+        return mu + sigma * rng.standard_normal()
+
+    def define_units(self, cvac: float, eps0: float):
+        self._cvac = float(cvac)
+        self._eps0 = float(eps0)
+
+    def define_timestep(self, dt: float):
+        self._dt = float(dt)
+
+    def courant_length(self, lx, ly, lz, nx, ny, nz):
+        s = 0.0
+        if nx > 1:
+            s += (nx / lx) ** 2
+        if ny > 1:
+            s += (ny / ly) ** 2
+        if nz > 1:
+            s += (nz / lz) ** 2
+        return s ** -0.5
+
+    def define_periodic_grid(self, lo, hi, n, topology=(1, 1, 1)):
+        self.grid = partition_periodic_box(
+            *lo, *hi, *[int(v) for v in n], *[int(v) for v in topology],
+            dt=self._dt, cvac=self._cvac, eps0=self._eps0)
+        return self.grid
+
+    def define_absorbing_grid(self, lo, hi, n, topology=(1, 1, 1),
+                              pbc=ABSORB_PARTICLES):
+        self.grid = partition_absorbing_box(
+            *lo, *hi, *[int(v) for v in n], *[int(v) for v in topology],
+            pbc=pbc, dt=self._dt, cvac=self._cvac, eps0=self._eps0)
+        return self.grid
+
+    def define_reflecting_grid(self, lo, hi, n, topology=(1, 1, 1)):
+        self.grid = partition_metal_box(
+            *lo, *hi, *[int(v) for v in n], *[int(v) for v in topology],
+            dt=self._dt, cvac=self._cvac, eps0=self._eps0)
+        return self.grid
+
+    def set_domain_field_bc(self, face: int, bc: int):
+        self.grid = self.grid.with_bc(face, fbc=bc)
+
+    def set_domain_particle_bc(self, face: int, bc: int):
+        self.grid = self.grid.with_bc(face, pbc=bc)
+
+    # ---------------- materials / field array ----------------
+
+    def define_material(self, name, eps=1.0, mu=1.0, sigma=0.0, zeta=0.0,
+                        **tensor) -> Material:
+        def three(v):
+            return tuple(v) if isinstance(v, (tuple, list)) else (v, v, v)
+
+        ex, ey, ez = three(tensor.get("eps", eps))
+        mx, my, mz = three(tensor.get("mu", mu))
+        sx, sy, sz = three(tensor.get("sigma", sigma))
+        zx, zy, zz = three(tensor.get("zeta", zeta))
+        m = Material(name, ex, ey, ez, mx, my, mz, sx, sy, sz, zx, zy, zz,
+                     id=len(self.materials))
+        self.materials.append(m)
+        return m
+
+    def lookup_material(self, name: str) -> Material:
+        for m in self.materials:
+            if m.name == name:
+                return m
+        raise KeyError(name)
+
+    def define_field_array(self, _kernels=None, damp: float = 0.0):
+        self.damp = float(damp)
+        self._field_init = FieldState.zeros(self.grid)
+
+    def _material_coeffs(self) -> MaterialCoeffs:
+        """create_sfa_params (sfa.c:55-151) for the uniform-material case;
+        region-assigned multi-material meshes expand per-voxel (see
+        set_region_material)."""
+        if not self.materials:
+            raise RuntimeError("no materials defined")
+        m = self.materials[0]
+        g = self.grid
+
+        def axis_coeffs(sigma, eps):
+            ax = (sigma * g.dt) / (eps * g.eps0)
+            decay = math.exp(-ax)
+            if ax == 0:
+                drive = 1.0 / eps
+            elif decay == 0:
+                drive = 0.0
+            else:
+                drive = 2.0 * math.exp(-0.5 * ax) * math.sinh(0.5 * ax) / (ax * eps)
+            return decay, drive
+
+        dx_, vx = axis_coeffs(m.sigmax, m.epsx)
+        dy_, vy = axis_coeffs(m.sigmay, m.epsy)
+        dz_, vz = axis_coeffs(m.sigmaz, m.epsz)
+        noncond = 1.0 if (m.sigmax == 0 and m.sigmay == 0 and m.sigmaz == 0) else 0.0
+        fl = lambda v: jnp.float32(v)
+        return MaterialCoeffs(
+            decayx=fl(dx_), decayy=fl(dy_), decayz=fl(dz_),
+            drivex=fl(vx), drivey=fl(vy), drivez=fl(vz),
+            rmux=fl(1.0 / m.mux), rmuy=fl(1.0 / m.muy), rmuz=fl(1.0 / m.muz),
+            nonconductive=fl(noncond),
+            epsx=fl(m.epsx), epsy=fl(m.epsy), epsz=fl(m.epsz))
+
+    # ---------------- species / particles ----------------
+
+    def define_species(self, name, q, m, max_local_np, max_local_nm=-1,
+                       sort_interval=0, sort_out_of_place=1) -> SpeciesParams:
+        p = SpeciesParams(name=name, q=float(q), m=float(m),
+                          capacity=int(math.ceil(max_local_np)),
+                          sort_interval=int(sort_interval),
+                          id=len(self.species))
+        self.species.append(_StagedSpecies(params=p))
+        return p
+
+    def _staged(self, sp: SpeciesParams) -> _StagedSpecies:
+        return self.species[sp.id]
+
+    def inject_particle(self, sp: SpeciesParams, x, y, z, ux, uy, uz, w,
+                        age=0.0, update_rhob=0):
+        """Robust global -> (voxel, offset) conversion in double precision
+        (misc.cc:16-100).  Host-side; device-side runtime injection is
+        provided by the emission module."""
+        g = self.grid
+        if w < 0:
+            raise ValueError("inject_particle: w < 0")
+        # Local-domain corners for this (single-host staging) rank; sharded
+        # decks stage per-shard in parallel/migrate.py.
+        x0, y0, z0, x1, y1, z1 = g.x0, g.y0, g.z0, g.x1, g.y1, g.z1
+        if not (x0 <= x <= x1 and y0 <= y <= y1 and z0 <= z <= z1):
+            return
+        nx, ny, nz = g.gnx, g.gny, g.gnz
+
+        def conv(v, v0, v1, n):
+            v = float(n) * ((v - v0) / (v1 - v0))
+            iv = int(v)
+            v -= iv
+            v = (v + v) - 1.0
+            if iv == n:
+                v = 1.0
+                iv = n - 1
+            return v, iv + 1
+
+        dx, ix = conv(x, x0, x1, nx)
+        dy, iy = conv(y, y0, y1, ny)
+        dz, iz = conv(z, z0, z1, nz)
+        self._staged(sp).xs.append(
+            (dx, dy, dz, ix, iy, iz, ux, uy, uz, w, age, update_rhob))
+
+    # ---------------- field loading ----------------
+
+    def set_region_field(self, region, ex=0, ey=0, ez=0, bx=0, by=0, bz=0):
+        """set_point_region_field (deck/wrapper.h:190-210): evaluate each
+        component's expression at its Yee stagger position (over ghosts too)
+        wherever ``region(x,y,z)`` holds.  Expressions are scalars or
+        callables f(x, y, z); B is stored internally as cB."""
+        g = self.grid
+        f = self._field_init
+        c = g.cvac
+
+        # Node and cell-center coordinates per FORTRAN index 0..n+1.
+        xn = g.x0 + g.dx * (np.arange(g.NX) - 1.0)
+        yn = g.y0 + g.dy * (np.arange(g.NY) - 1.0)
+        zn = g.z0 + g.dz * (np.arange(g.NZ) - 1.0)
+        xc, yc, zc = xn + 0.5 * g.dx, yn + 0.5 * g.dy, zn + 0.5 * g.dz
+
+        def grids(xs, ys, zs):
+            Z, Y, X = np.meshgrid(zs, ys, xs, indexing="ij")
+            return X, Y, Z
+
+        def eval_at(expr, xs, ys, zs):
+            X, Y, Z = grids(xs, ys, zs)
+            if callable(expr):
+                vals = np.vectorize(expr, otypes=[np.float64])(X, Y, Z)
+            else:
+                vals = np.full(X.shape, float(expr))
+            if callable(region):
+                mask = np.vectorize(region, otypes=[bool])(X, Y, Z)
+            else:
+                mask = np.full(X.shape, bool(region))
+            return vals, mask
+
+        def setc(cur, expr, xs, ys, zs, scale=1.0):
+            vals, mask = eval_at(expr, xs, ys, zs)
+            cur_np = np.asarray(cur)
+            return jnp.asarray(np.where(mask, scale * vals, cur_np),
+                               jnp.float32)
+
+        f = f.replace(
+            ex=setc(f.ex, ex, xc, yn, zn),
+            ey=setc(f.ey, ey, xn, yc, zn),
+            ez=setc(f.ez, ez, xn, yn, zc),
+            cbx=setc(f.cbx, bx, xn, yc, zc, scale=c),
+            cby=setc(f.cby, by, xc, yn, zc, scale=c),
+            cbz=setc(f.cbz, bz, xc, yc, zn, scale=c),
+        )
+        self._field_init = f
+
+    # ---------------- initialize (initialize.cc:5-64) ----------------
+
+    def _pack_species(self) -> Tuple[SpeciesState, ...]:
+        g = self.grid
+        out = []
+        for st in self.species:
+            cap = st.params.capacity
+            n = len(st.xs)
+            if n > cap:
+                raise RuntimeError(
+                    f"species {st.params.name}: {n} staged > capacity {cap}")
+            s = SpeciesState.empty(cap)
+            if n:
+                a = np.asarray([r[:10] for r in st.xs], np.float64)
+                vox = (a[:, 3].astype(np.int64)
+                       + g.NX * (a[:, 4].astype(np.int64)
+                                 + g.NY * a[:, 5].astype(np.int64)))
+                live = np.zeros(cap, bool)
+                live[:n] = True
+
+                def fill(col, dtype=np.float32):
+                    buf = np.zeros(cap, dtype)
+                    buf[:n] = a[:, col].astype(dtype)
+                    return jnp.asarray(buf)
+
+                ibuf = np.zeros(cap, np.int32)
+                ibuf[:n] = vox.astype(np.int32)
+                s = s.replace(dx=fill(0), dy=fill(1), dz=fill(2),
+                              i=jnp.asarray(ibuf),
+                              ux=fill(6), uy=fill(7), uz=fill(8), w=fill(9),
+                              live=jnp.asarray(live), np=jnp.int32(n))
+            out.append(s)
+        return tuple(out)
+
+    def initialize(self, key=None) -> SimState:
+        """Post-deck derived-state fixups (initialize.cc:5-64)."""
+        g = self.grid
+        m = self._material_coeffs()
+        f = self._field_init if self._field_init is not None else \
+            FieldState.zeros(g)
+        species = self._pack_species()
+
+        @jax.jit
+        def _init(f, species):
+            f, _ = F.synchronize_tang_e_norm_b(f, g)
+            f = F.compute_div_b_err(f, g)
+            f = F.clean_div_b(f, g)
+            f = F.compute_curl_b(f, g, m)
+            f = F.clear_rhof(f)
+            rhof = f.rhof.reshape(-1)
+            for st, sp in zip(self.species, species):
+                rhof = P.accumulate_rho_p(rhof, sp, g, st.params.q)
+            f = f.replace(rhof=rhof.reshape(g.shape))
+            f = F.synchronize_rho(f, g)
+            f = F.compute_rhob(f, g, m)
+            f = F.compute_div_e_err(f, g, m)
+            f = F.clean_div_e(f, g, m)
+            f, _ = F.synchronize_tang_e_norm_b(f, g)
+            fcoef = I.load_interpolator(f, g)
+            species = tuple(
+                P.uncenter_p(sp, fcoef, g, st.params.q, st.params.m)
+                for st, sp in zip(self.species, species))
+            return f, species
+
+        f, species = _init(f, species)
+        if key is None:
+            key = jax.random.PRNGKey(self._entropy.randint(0, 2**31 - 1))
+        return SimState(fields=f, species=species,
+                        step=jnp.int32(0), rng=key)
+
+    # ---------------- the step (advance.cc:15-208) ----------------
+
+    def make_advance(self) -> Callable[[SimState], SimState]:
+        g = self.grid
+        m = self._material_coeffs()
+        damp = self.damp
+        sp_params = [st.params for st in self.species]
+        collision_ops = tuple(self.collision_ops)
+        emitters = tuple(self.emitters)
+        u_field = self.user_field_injection
+        u_current = self.user_current_injection
+        u_pinject = self.user_particle_injection
+        u_collide = self.user_particle_collisions
+
+        def advance(state: SimState) -> SimState:
+            f = state.fields
+            species = list(state.species)
+            step = state.step
+            rng = state.rng
+
+            # --- sort (performance + collision partition) ---
+            for k, spp in enumerate(sp_params):
+                if spp.sort_interval > 0:
+                    species[k] = jax.lax.cond(
+                        step % spp.sort_interval == 0,
+                        P.sort_p, lambda s: s, species[k])
+
+            # --- collisions (before push; advance.cc:45-47) ---
+            for op in collision_ops:
+                species, rng = op(species, f, g, step, rng)
+            if u_collide is not None:
+                species, rng = u_collide(species, f, g, step, rng)
+
+            # --- particle push + current deposition ---
+            fcoef = I.load_interpolator(f, g)
+            acc = jnp.zeros((g.nv, 12), jnp.float32)
+            rhob = f.rhob.reshape(-1)
+            for k, spp in enumerate(sp_params):
+                res = P.advance_p(species[k], fcoef, g, spp.q, spp.m,
+                                  acc, rhob, max_streak=self.max_streak)
+                species[k] = res.species
+                acc = res.acc
+                rhob = res.rhob_flat
+            f = f.replace(rhob=rhob.reshape(g.shape))
+
+            # --- emission / user injection (advance.cc:58-60) ---
+            for em in emitters:
+                species, f, acc, rng = em(species, f, acc, g, step, rng)
+            if u_pinject is not None:
+                species, f, acc, rng = u_pinject(species, f, acc, g, step, rng)
+
+            # --- accumulator -> jf, shared-face sum ---
+            f = F.clear_jf(f)
+            f = I.unload_accumulator(f, acc, g)
+            f = F.synchronize_jf(f, g)
+
+            if u_current is not None:
+                f = u_current(f, step)
+
+            # --- field advance ---
+            f = F.advance_b(f, g, 0.5)
+            f = F.advance_e(f, g, m, damp)
+            if u_field is not None:
+                f = u_field(f, step)
+            f = F.advance_b(f, g, 0.5)
+
+            # --- divergence cleaning (periodic) ---
+            def clean_e(f):
+                f = F.clear_rhof(f)
+                rhof = f.rhof.reshape(-1)
+                for k, spp in enumerate(sp_params):
+                    rhof = P.accumulate_rho_p(rhof, species[k], g, spp.q)
+                f = f.replace(rhof=rhof.reshape(g.shape))
+                f = F.synchronize_rho(f, g)
+                for _ in range(self.num_div_e_round):
+                    f = F.compute_div_e_err(f, g, m)
+                    f = F.clean_div_e(f, g, m)
+                return f
+
+            if self.clean_div_e_interval > 0:
+                f = jax.lax.cond(step % self.clean_div_e_interval == 0,
+                                 clean_e, lambda f: f, f)
+
+            def clean_b(f):
+                for _ in range(self.num_div_b_round):
+                    f = F.compute_div_b_err(f, g)
+                    f = F.clean_div_b(f, g)
+                return f
+
+            if self.clean_div_b_interval > 0:
+                f = jax.lax.cond(step % self.clean_div_b_interval == 0,
+                                 clean_b, lambda f: f, f)
+
+            if self.sync_shared_interval > 0:
+                f = jax.lax.cond(step % self.sync_shared_interval == 0,
+                                 lambda f: F.synchronize_tang_e_norm_b(f, g)[0],
+                                 lambda f: f, f)
+
+            return state.replace(fields=f, species=tuple(species),
+                                 step=step + 1, rng=rng)
+
+        return advance
+
+    # ---------------- diagnostics ----------------
+
+    def energies(self, state: SimState):
+        """dump_energies columns (dump.cc:37-77):
+        [ex, ey, ez, bx, by, bz, KE_sp0, KE_sp1, ...]"""
+        g = self.grid
+        m = self._material_coeffs()
+        f = state.fields
+        en_f = F.energy_f(f, g, m)
+        fcoef = I.load_interpolator(f, g)
+        en_p = [P.energy_p(sp, fcoef, g, st.params.q, st.params.m)
+                for st, sp in zip(self.species, state.species)]
+        return jnp.concatenate([en_f, jnp.stack(en_p)]) if en_p else en_f

@@ -1,0 +1,419 @@
+"""Particle engine: fused interpolate -> Boris push -> current deposition.
+
+TPU-native re-design of src/species_advance/standard/:
+
+* ``advance_p`` <- advance_p_pipeline.cc:20-237 + move_p.cc:216-353, fused
+  into ONE vectorized kernel.  The reference splits the common in-bounds case
+  (inline ACCUMULATE_J) from the rare voxel-crossing case (a mover work-list
+  consumed by a scalar streak walk).  Work-lists are hostile to SIMT/XLA, so
+  here EVERY particle runs the same bounded streak walk: an in-bounds particle
+  terminates on the first sub-streak and deposits exactly the inline-path
+  currents (the walk's fractional-length math reduces to frac=1), while
+  crossers take up to MAX_STREAK masked sub-streaks, reproducing move_p's
+  reflection / periodic-wrap / absorb / remote-face semantics as masked lanes.
+* Current deposition (the reference's per-thread accumulator replicas +
+  deterministic tree reduction, sf_interface.h:107-158) becomes a
+  deterministic scatter-add into a single (nv, 12) quarter-face accumulator.
+* ``center_p`` / ``uncenter_p`` <- center_p_pipeline.cc / uncenter_p_pipeline.cc
+* ``energy_p``  <- energy_p_pipeline.cc:17-68
+* ``rho_p``     <- rho_p.cc:22-112 (accumulate_rho_p) and :125-211
+  (accumulate_rhob with boundary-corrected weights)
+* ``sort_p``    <- sort_p_pipeline.c, as a stable argsort by voxel key.
+
+All arithmetic is f32 like the reference (momenta, fields, weights); the
+relativistic Boris rotation uses the same 2nd-order tan(theta/2) Pade/Taylor
+expansion (advance_p_pipeline.cc:117-132).
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ..grid import (ABSORB_PARTICLES, FIRST_CUSTOM_PBC, P_PERIODIC, P_REMOTE,
+                    REFLECT_PARTICLES, Grid)
+from ..state import SpeciesState
+
+ONE_THIRD = 1.0 / 3.0
+TWO_FIFTEENTHS = 2.0 / 15.0
+BIG = 3.4e38
+
+# pend_face codes produced by the walk for particles that could not finish
+# locally: -1 = finished locally, 0..5 = left through that face (remote /
+# custom BC; handled by boundary_p), 6 = ran out of streak iterations.
+DONE = -1
+UNFINISHED = 6
+
+
+class PushResult(NamedTuple):
+    species: SpeciesState
+    acc: jnp.ndarray          # (nv, 12) quarter-face current accumulator
+    rhob_flat: jnp.ndarray    # (nv,) flat rhob including absorb deposits
+    pend_face: jnp.ndarray    # (N,) int32, see codes above
+    pend_disp: Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]
+    n_pend: jnp.ndarray       # int32: particles needing boundary handling
+
+
+def _interp_fields(fcoef, dx, dy, dz, qdt_2mc):
+    """Gathered-row interpolation (advance_p_pipeline.cc:93-106)."""
+    hax = qdt_2mc * ((fcoef[:, 0] + dy * fcoef[:, 1])
+                     + dz * (fcoef[:, 2] + dy * fcoef[:, 3]))
+    hay = qdt_2mc * ((fcoef[:, 4] + dz * fcoef[:, 5])
+                     + dx * (fcoef[:, 6] + dz * fcoef[:, 7]))
+    haz = qdt_2mc * ((fcoef[:, 8] + dx * fcoef[:, 9])
+                     + dy * (fcoef[:, 10] + dx * fcoef[:, 11]))
+    cbx = fcoef[:, 12] + dx * fcoef[:, 13]
+    cby = fcoef[:, 14] + dy * fcoef[:, 15]
+    cbz = fcoef[:, 16] + dz * fcoef[:, 17]
+    return hax, hay, haz, cbx, cby, cbz
+
+
+def _boris_rotate(ux, uy, uz, cbx, cby, cbz, qdt_2mc_or_4mc):
+    """Relativistic Boris rotation with the reference's tan(theta/2)
+    expansion (advance_p_pipeline.cc:117-132)."""
+    v0 = qdt_2mc_or_4mc * jax.lax.rsqrt(1.0 + (ux * ux + (uy * uy + uz * uz)))
+    v1 = cbx * cbx + (cby * cby + cbz * cbz)
+    v2 = (v0 * v0) * v1
+    v3 = v0 * (1.0 + v2 * (ONE_THIRD + v2 * TWO_FIFTEENTHS))
+    v4 = v3 / (1.0 + v1 * (v3 * v3))
+    v4 = v4 + v4
+    w0 = ux + v3 * (uy * cbz - uz * cby)
+    w1 = uy + v3 * (uz * cbx - ux * cbz)
+    w2 = uz + v3 * (ux * cby - uy * cbx)
+    ux = ux + v4 * (w1 * cbz - w2 * cby)
+    uy = uy + v4 * (w2 * cbx - w0 * cbz)
+    uz = uz + v4 * (w0 * cby - w1 * cbx)
+    return ux, uy, uz
+
+
+def _accumulate_j_cols(q, sdx, sdy, sdz, midx, midy, midz):
+    """The 12 quarter-face current values for one sub-streak
+    (ACCUMULATE_J, advance_p_pipeline.cc:183-207 == move_p.cc:276-297)."""
+    v5 = q * sdx * sdy * sdz * ONE_THIRD
+
+    def one(qu, dY, dZ):
+        v1 = qu * dY
+        v0 = qu - v1
+        v1 = v1 + qu
+        a = 1.0 + dZ
+        v2 = v0 * a
+        v3 = v1 * a
+        b = 1.0 - dZ
+        v0 = v0 * b
+        v1 = v1 * b
+        return (v0 + v5, v1 - v5, v2 - v5, v3 + v5)
+
+    jx = one(q * sdx, midy, midz)
+    jy = one(q * sdy, midz, midx)
+    jz = one(q * sdz, midx, midy)
+    return jnp.stack(jx + jy + jz, axis=-1)
+
+
+def _trilinear_weights(dx, dy, dz, q):
+    """8 node weights in VPIC's order (rho_p.cc:70-75):
+    [(-,-,-),(+,-,-),(-,+,-),(+,+,-),(-,-,+),(+,-,+),(-,+,+),(+,+,+)]
+    where +/- refers to the (x,y,z) upper/lower node of the voxel."""
+    w6 = q - dx * q            # q(1-dx)
+    w7 = q + dx * q            # q(1+dx)
+    w4 = w6 - dy * w6
+    w5 = w7 - dy * w7
+    w6 = w6 + dy * w6
+    w7 = w7 + dy * w7
+    w0 = w4 - dz * w4
+    w1 = w5 - dz * w5
+    w2 = w6 - dz * w6
+    w3 = w7 - dz * w7
+    w4 = w4 + dz * w4
+    w5 = w5 + dz * w5
+    w6 = w6 + dz * w6
+    w7 = w7 + dz * w7
+    return jnp.stack([w0, w1, w2, w3, w4, w5, w6, w7], axis=-1)
+
+
+def _node_offsets(g: Grid):
+    sy, sz = g.sy, g.sz
+    return jnp.array([0, 1, sy, sy + 1, sz, sz + 1, sz + sy, sz + sy + 1],
+                     jnp.int32)
+
+
+def deposit_rhob(rhob_flat, g: Grid, i, dx, dy, dz, w, qsp, mask):
+    """accumulate_rhob (rho_p.cc:126-211): trilinear node deposit with the
+    boundary-corrected doubling of weights on domain-edge nodes."""
+    q = jnp.where(mask, qsp * g.r8V * w, 0.0)
+    weights = _trilinear_weights(dx, dy, dz, q)
+
+    z, r = jnp.divmod(i, g.sz)
+    y, x = jnp.divmod(r, g.sy)
+    lo_mask = jnp.array([[1, 1, 1, 1, 0, 0, 0, 0]], jnp.float32)  # z==1
+    hi_mask = 1.0 - lo_mask
+    weights = weights * jnp.where((z == 1)[:, None], 1.0 + lo_mask, 1.0)
+    weights = weights * jnp.where((z == g.nz)[:, None], 1.0 + hi_mask, 1.0)
+    ylo = jnp.array([[1, 1, 0, 0, 1, 1, 0, 0]], jnp.float32)
+    weights = weights * jnp.where((y == 1)[:, None], 1.0 + ylo, 1.0)
+    weights = weights * jnp.where((y == g.ny)[:, None], 2.0 - ylo, 1.0)
+    xlo = jnp.array([[1, 0, 1, 0, 1, 0, 1, 0]], jnp.float32)
+    weights = weights * jnp.where((x == 1)[:, None], 1.0 + xlo, 1.0)
+    weights = weights * jnp.where((x == g.nx)[:, None], 2.0 - xlo, 1.0)
+
+    nodes = i[:, None] + _node_offsets(g)[None, :]
+    return rhob_flat.at[nodes.reshape(-1)].add(weights.reshape(-1),
+                                               mode="drop")
+
+
+def accumulate_rho_p(rhof_flat, sp: SpeciesState, g: Grid, qsp):
+    """accumulate_rho_p (rho_p.cc:22-112): uncorrected trilinear deposit of
+    all live particles into flat rhof."""
+    q = jnp.where(sp.alive, qsp * g.r8V * sp.w, 0.0)
+    weights = _trilinear_weights(sp.dx, sp.dy, sp.dz, q)
+    nodes = sp.i[:, None] + _node_offsets(g)[None, :]
+    return rhof_flat.at[nodes.reshape(-1)].add(weights.reshape(-1),
+                                               mode="drop")
+
+
+def advance_p(sp: SpeciesState, fcoef, g: Grid, qsp: float, msp: float,
+              acc, rhob_flat, max_streak: int = 4) -> PushResult:
+    """One leapfrog step for one species (see module docstring).
+
+    ``acc`` is the shared (nv, 12) accumulator: contributions from every
+    species add into it, like the reference's single accumulator array."""
+    N = sp.capacity
+    qdt_2mc = (qsp * g.dt) / (2.0 * msp * g.cvac)
+    cdt_dx = g.cvac * g.dt * g.rdx
+    cdt_dy = g.cvac * g.dt * g.rdy
+    cdt_dz = g.cvac * g.dt * g.rdz
+    alive = sp.alive
+
+    dx, dy, dz = sp.dx, sp.dy, sp.dz
+    rows = fcoef[sp.i]
+    hax, hay, haz, cbx, cby, cbz = _interp_fields(rows, dx, dy, dz, qdt_2mc)
+
+    ux = sp.ux + hax
+    uy = sp.uy + hay
+    uz = sp.uz + haz
+    ux, uy, uz = _boris_rotate(ux, uy, uz, cbx, cby, cbz, qdt_2mc)
+    ux = ux + hax
+    uy = uy + hay
+    uz = uz + haz
+
+    # Normalized half-displacement in voxel-offset units
+    # (advance_p_pipeline.cc:142-151).
+    rgamma = jax.lax.rsqrt(1.0 + (ux * ux + (uy * uy + uz * uz)))
+    dispx = ux * cdt_dx * rgamma
+    dispy = uy * cdt_dy * rgamma
+    dispz = uz * cdt_dz * rgamma
+
+    # Decode voxel coords once; carried through the walk.
+    zi, r = jnp.divmod(sp.i, g.sz)
+    yi, xi = jnp.divmod(r, g.sy)
+
+    q0 = jnp.where(alive, qsp * sp.w, 0.0)
+
+    def streak(carry, _):
+        (px, py, pz, dpx, dpy, dpz, xi, yi, zi,
+         ux, uy, uz, active, alive, pend, acc, rhob) = carry
+
+        dirx = jnp.where(dpx > 0, 1.0, -1.0)
+        diry = jnp.where(dpy > 0, 1.0, -1.0)
+        dirz = jnp.where(dpz > 0, 1.0, -1.0)
+        v0 = jnp.where(dpx == 0, BIG, (dirx - px) / jnp.where(dpx == 0, 1, dpx))
+        v1 = jnp.where(dpy == 0, BIG, (diry - py) / jnp.where(dpy == 0, 1, dpy))
+        v2 = jnp.where(dpz == 0, BIG, (dirz - pz) / jnp.where(dpz == 0, 1, dpz))
+
+        # axis = index of strictly smallest of (v0, v1, v2, 2.0) with the
+        # reference's tie-break (earlier axis wins on ties; end-of-track wins
+        # all ties at 2.0) -- move_p.cc:257-260.
+        v3 = jnp.full_like(v0, 2.0)
+        axis = jnp.full_like(xi, 3)
+        take0 = v0 < v3
+        v3 = jnp.where(take0, v0, v3)
+        axis = jnp.where(take0, 0, axis)
+        take1 = v1 < v3
+        v3 = jnp.where(take1, v1, v3)
+        axis = jnp.where(take1, 1, axis)
+        take2 = v2 < v3
+        v3 = jnp.where(take2, v2, v3)
+        axis = jnp.where(take2, 2, axis)
+        frac = 0.5 * v3
+
+        sdx = dpx * frac
+        sdy = dpy * frac
+        sdz = dpz * frac
+        midx = px + sdx
+        midy = py + sdy
+        midz = pz + sdz
+
+        actf = active.astype(jnp.float32)
+        vox = xi + g.NX * (yi + g.NY * zi)
+        vals = _accumulate_j_cols(q0 * actf, sdx, sdy, sdz, midx, midy, midz)
+        acc = acc.at[vox].add(vals, mode="drop")
+
+        # Advance remaining displacement / position for active lanes.
+        upd = lambda old, new: jnp.where(active, new, old)
+        dpx = upd(dpx, dpx - sdx)
+        dpy = upd(dpy, dpy - sdy)
+        dpz = upd(dpz, dpz - sdz)
+        px = upd(px, px + sdx + sdx)
+        py = upd(py, py + sdy + sdy)
+        pz = upd(pz, pz + sdz + sdz)
+
+        ended = axis == 3
+        crossing = active & ~ended
+        active = active & ~ended
+
+        # Put the crossing particle exactly on the face (move_p.cc:321-323).
+        for ax, (p, d) in enumerate(((px, dirx), (py, diry), (pz, dirz))):
+            m = crossing & (axis == ax)
+            p_new = jnp.where(m, d, p)
+            if ax == 0:
+                px = p_new
+            elif ax == 1:
+                py = p_new
+            else:
+                pz = p_new
+
+        # Neighbor / boundary logic per axis (replaces g->neighbor table).
+        for ax in range(3):
+            m = crossing & (axis == ax)
+            n_ax = (g.nx, g.ny, g.nz)[ax]
+            coord = (xi, yi, zi)[ax]
+            d = (dirx, diry, dirz)[ax]
+            pos_d = d > 0
+            new_coord = coord + jnp.where(pos_d, 1, -1)
+            out_lo = m & (new_coord < 1)
+            out_hi = m & (new_coord > n_ax)
+            inside = m & ~out_lo & ~out_hi
+
+            # interior crossing: move voxel, flip offset coordinate
+            coord = jnp.where(inside, new_coord, coord)
+            flip = inside
+
+            for side, out_m in ((-1, out_lo), (1, out_hi)):
+                bc = g.axis_bc(ax, side, particles=True)
+                if bc == P_PERIODIC:
+                    wrapped = jnp.where(side < 0, n_ax, 1)
+                    coord = jnp.where(out_m, wrapped, coord)
+                    flip = flip | out_m
+                elif bc == REFLECT_PARTICLES:
+                    # Flip momentum + remaining displacement; particle stays
+                    # on the wall and keeps walking (move_p.cc:327-334).
+                    if ax == 0:
+                        ux = jnp.where(out_m, -ux, ux)
+                        dpx = jnp.where(out_m, -dpx, dpx)
+                    elif ax == 1:
+                        uy = jnp.where(out_m, -uy, uy)
+                        dpy = jnp.where(out_m, -dpy, dpy)
+                    else:
+                        uz = jnp.where(out_m, -uz, uz)
+                        dpz = jnp.where(out_m, -dpz, dpz)
+                elif bc == ABSORB_PARTICLES:
+                    vox_now = xi + g.NX * (yi + g.NY * zi)
+                    rhob = deposit_rhob(rhob, g, vox_now, px, py, pz,
+                                        sp.w, qsp, out_m & alive)
+                    alive = alive & ~out_m
+                    active = active & ~out_m
+                else:
+                    # Remote shard or custom particle BC: park the particle
+                    # for boundary_p (face code, remaining displacement kept).
+                    face = ax + (0 if side < 0 else 3)
+                    pend = jnp.where(out_m, face, pend)
+                    active = active & ~out_m
+
+            # write back voxel coord and offset flip
+            if ax == 0:
+                xi = coord
+                px = jnp.where(flip, -px, px)
+            elif ax == 1:
+                yi = coord
+                py = jnp.where(flip, -py, py)
+            else:
+                zi = coord
+                pz = jnp.where(flip, -pz, pz)
+
+        carry = (px, py, pz, dpx, dpy, dpz, xi, yi, zi,
+                 ux, uy, uz, active, alive, pend, acc, rhob)
+        return carry, None
+
+    pend0 = jnp.full((N,), DONE, jnp.int32)
+    carry = (dx, dy, dz, dispx, dispy, dispz, xi, yi, zi,
+             ux, uy, uz, alive, alive, pend0, acc, rhob_flat)
+    for _ in range(max_streak):
+        carry, _ = streak(carry, None)
+    (px, py, pz, dpx, dpy, dpz, xi, yi, zi,
+     ux, uy, uz, active, alive, pend, acc, rhob_flat) = carry
+
+    # Lanes still active after max_streak ran out of iterations.
+    pend = jnp.where(active, UNFINISHED, pend)
+
+    vox = xi + g.NX * (yi + g.NY * zi)
+    new_sp = sp.replace(
+        dx=px, dy=py, dz=pz, i=vox,
+        ux=ux, uy=uy, uz=uz,
+        w=jnp.where(alive, sp.w, 0.0),
+        live=alive,
+        np=jnp.sum(alive.astype(jnp.int32)),
+    )
+    n_pend = jnp.sum((pend >= 0).astype(jnp.int32))
+    return PushResult(new_sp, acc, rhob_flat, pend,
+                      (dpx, dpy, dpz), n_pend)
+
+
+def center_p(sp: SpeciesState, fcoef, g: Grid, qsp, msp) -> SpeciesState:
+    """center_p: u from time level t-1/2 to t (half kick + half rotate +
+    half kick order per center_p_pipeline.cc)."""
+    qdt_2mc = (qsp * g.dt) / (2.0 * msp * g.cvac)
+    qdt_4mc = 0.5 * qdt_2mc
+    rows = fcoef[sp.i]
+    hax, hay, haz, cbx, cby, cbz = _interp_fields(rows, sp.dx, sp.dy, sp.dz,
+                                                  qdt_2mc)
+    ux, uy, uz = sp.ux + 0.5 * hax, sp.uy + 0.5 * hay, sp.uz + 0.5 * haz
+    ux, uy, uz = _boris_rotate(ux, uy, uz, cbx, cby, cbz, qdt_4mc)
+    a = sp.alive
+    return sp.replace(ux=jnp.where(a, ux, sp.ux),
+                      uy=jnp.where(a, uy, sp.uy),
+                      uz=jnp.where(a, uz, sp.uz))
+
+
+def uncenter_p(sp: SpeciesState, fcoef, g: Grid, qsp, msp) -> SpeciesState:
+    """uncenter_p (uncenter_p_pipeline.cc:16-98): u from t to t-1/2
+    (backward half rotate then backward half kick)."""
+    qdt_2mc = -(qsp * g.dt) / (2.0 * msp * g.cvac)
+    qdt_4mc = 0.5 * qdt_2mc
+    rows = fcoef[sp.i]
+    hax, hay, haz, cbx, cby, cbz = _interp_fields(rows, sp.dx, sp.dy, sp.dz,
+                                                  qdt_2mc)
+    ux, uy, uz = _boris_rotate(sp.ux, sp.uy, sp.uz, cbx, cby, cbz, qdt_4mc)
+    ux, uy, uz = ux + hax, uy + hay, uz + haz
+    a = sp.alive
+    return sp.replace(ux=jnp.where(a, ux, sp.ux),
+                      uy=jnp.where(a, uy, sp.uy),
+                      uz=jnp.where(a, uz, sp.uz))
+
+
+def energy_p(sp: SpeciesState, fcoef, g: Grid, qsp, msp):
+    """energy_p (energy_p_pipeline.cc:17-68): time-centered total kinetic
+    energy of the species (shard-local partial; psum when sharded)."""
+    qdt_2mc = (qsp * g.dt) / (2.0 * msp * g.cvac)
+    rows = fcoef[sp.i]
+    hax, hay, haz, _, _, _ = _interp_fields(rows, sp.dx, sp.dy, sp.dz,
+                                            qdt_2mc)
+    v0 = sp.ux + hax
+    v1 = sp.uy + hay
+    v2 = sp.uz + haz
+    usq = v0 * v0 + v1 * v1 + v2 * v2
+    ke = (msp * sp.w) * (usq / (1.0 + jnp.sqrt(1.0 + usq)))
+    ke = jnp.where(sp.alive, ke, 0.0)
+    return jnp.sum(ke) * (g.cvac * g.cvac)
+
+
+def sort_p(sp: SpeciesState) -> SpeciesState:
+    """Stable counting-sort analogue (sort_p_pipeline.c): reorder the live
+    prefix by voxel so deposits within a voxel tile are contiguous and
+    collision pairing can partition by cell."""
+    key = jnp.where(sp.alive, sp.i, jnp.iinfo(jnp.int32).max)
+    order = jnp.argsort(key, stable=True)
+    take = lambda a: a[order]
+    return sp.replace(dx=take(sp.dx), dy=take(sp.dy), dz=take(sp.dz),
+                      i=take(sp.i), ux=take(sp.ux), uy=take(sp.uy),
+                      uz=take(sp.uz), w=take(sp.w), live=take(sp.live))
