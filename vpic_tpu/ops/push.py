@@ -360,14 +360,14 @@ def advance_p(sp: SpeciesState, fcoef, g: Grid, qsp: float, msp: float,
 
 
 def center_p(sp: SpeciesState, fcoef, g: Grid, qsp, msp) -> SpeciesState:
-    """center_p: u from time level t-1/2 to t (half kick + half rotate +
-    half kick order per center_p_pipeline.cc)."""
+    """center_p (center_p_pipeline.cc:16-100): u from time level t-1/2 to t:
+    half E kick (qdt_2mc) then half Boris rotate (qdt_4mc)."""
     qdt_2mc = (qsp * g.dt) / (2.0 * msp * g.cvac)
     qdt_4mc = 0.5 * qdt_2mc
     rows = fcoef[sp.i]
     hax, hay, haz, cbx, cby, cbz = _interp_fields(rows, sp.dx, sp.dy, sp.dz,
                                                   qdt_2mc)
-    ux, uy, uz = sp.ux + 0.5 * hax, sp.uy + 0.5 * hay, sp.uz + 0.5 * haz
+    ux, uy, uz = sp.ux + hax, sp.uy + hay, sp.uz + haz
     ux, uy, uz = _boris_rotate(ux, uy, uz, cbx, cby, cbz, qdt_4mc)
     a = sp.alive
     return sp.replace(ux=jnp.where(a, ux, sp.ux),
