@@ -15,8 +15,8 @@ Layer map (mirrors SURVEY.md section 1):
 
 from .grid import (ABSORB_FIELDS, ABSORB_PARTICLES, ANTI_SYMMETRIC, BOUNDARY,
                    METAL, PEC, PERIODIC, PMC, REFLECT_PARTICLES, SYMMETRIC,
-                   Grid, boundary, partition_absorbing_box,
-                   partition_metal_box, partition_periodic_box)
+                   Grid, partition_absorbing_box, partition_metal_box,
+                   partition_periodic_box)
 from .state import (FieldState, MaterialCoeffs, SimState, SpeciesParams,
                     SpeciesState)
 from .deck import Material, Simulation, everywhere

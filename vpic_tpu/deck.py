@@ -27,6 +27,7 @@ from .grid import (ABSORB_FIELDS, ABSORB_PARTICLES, BOUNDARY, FACE_AXIS,
                    FACE_SIDE, PEC, PERIODIC, P_PERIODIC, REFLECT_PARTICLES,
                    Grid, partition_absorbing_box, partition_metal_box,
                    partition_periodic_box)
+from . import boundary as B
 from .ops import fields as F
 from .ops import interp as I
 from .ops import push as P
@@ -88,6 +89,7 @@ class Simulation:
         self.user_particle_collisions = None
         self.collision_ops: list = []
         self.emitters: list = []
+        self.pbc_handlers: dict = {}   # face -> custom particle-BC handler
         self._entropy = np.random.RandomState(seed)
         self._sync_entropy = np.random.RandomState(seed + 0x5EED)
         self._field_init: Optional[FieldState] = None
@@ -178,7 +180,7 @@ class Simulation:
 
     def define_field_array(self, _kernels=None, damp: float = 0.0):
         self.damp = float(damp)
-        self._field_init = FieldState.zeros(self.grid)
+        self._field_ops = []
 
     def _material_coeffs(self) -> MaterialCoeffs:
         """create_sfa_params (sfa.c:55-151) for the uniform-material case;
@@ -263,93 +265,165 @@ class Simulation:
         """set_point_region_field (deck/wrapper.h:190-210): evaluate each
         component's expression at its Yee stagger position (over ghosts too)
         wherever ``region(x,y,z)`` holds.  Expressions are scalars or
-        callables f(x, y, z); B is stored internally as cB."""
-        g = self.grid
-        f = self._field_init
-        c = g.cvac
+        callables f(x, y, z); B is stored internally as cB.  Recorded here,
+        materialized per shard at initialize()."""
+        self._field_ops.append((region, dict(ex=ex, ey=ey, ez=ez,
+                                             bx=bx, by=by, bz=bz)))
 
-        # Node and cell-center coordinates per FORTRAN index 0..n+1.
-        xn = g.x0 + g.dx * (np.arange(g.NX) - 1.0)
-        yn = g.y0 + g.dy * (np.arange(g.NY) - 1.0)
-        zn = g.z0 + g.dz * (np.arange(g.NZ) - 1.0)
+    def _local_corner(self, sx: int, sy: int, sz: int):
+        g = self.grid
+        return (g.x0 + sx * g.nx * g.dx,
+                g.y0 + sy * g.ny * g.dy,
+                g.z0 + sz * g.nz * g.dz)
+
+    def _materialize_fields(self, shard=(0, 0, 0)) -> np.ndarray:
+        """Evaluate the recorded region-field ops on one shard's local
+        ghosted mesh; returns 6 numpy arrays (ex, ey, ez, cbx, cby, cbz)."""
+        g = self.grid
+        c = g.cvac
+        x0, y0, z0 = self._local_corner(*shard)
+        xn = x0 + g.dx * (np.arange(g.NX) - 1.0)
+        yn = y0 + g.dy * (np.arange(g.NY) - 1.0)
+        zn = z0 + g.dz * (np.arange(g.NZ) - 1.0)
         xc, yc, zc = xn + 0.5 * g.dx, yn + 0.5 * g.dy, zn + 0.5 * g.dz
 
-        def grids(xs, ys, zs):
-            Z, Y, X = np.meshgrid(zs, ys, xs, indexing="ij")
-            return X, Y, Z
+        out = {k: np.zeros(g.shape, np.float32)
+               for k in ("ex", "ey", "ez", "cbx", "cby", "cbz")}
+        # Yee stagger sample positions (wrapper.h:196-207).
+        stagger = dict(ex=(xc, yn, zn), ey=(xn, yc, zn), ez=(xn, yn, zc),
+                       cbx=(xn, yc, zc), cby=(xc, yn, zc), cbz=(xc, yc, zn))
+        scales = dict(ex=1.0, ey=1.0, ez=1.0, cbx=c, cby=c, cbz=c)
+        keymap = dict(ex="ex", ey="ey", ez="ez", bx="cbx", by="cby", bz="cbz")
 
-        def eval_at(expr, xs, ys, zs):
-            X, Y, Z = grids(xs, ys, zs)
-            if callable(expr):
-                vals = np.vectorize(expr, otypes=[np.float64])(X, Y, Z)
-            else:
-                vals = np.full(X.shape, float(expr))
-            if callable(region):
-                mask = np.vectorize(region, otypes=[bool])(X, Y, Z)
-            else:
-                mask = np.full(X.shape, bool(region))
-            return vals, mask
-
-        def setc(cur, expr, xs, ys, zs, scale=1.0):
-            vals, mask = eval_at(expr, xs, ys, zs)
-            cur_np = np.asarray(cur)
-            return jnp.asarray(np.where(mask, scale * vals, cur_np),
-                               jnp.float32)
-
-        f = f.replace(
-            ex=setc(f.ex, ex, xc, yn, zn),
-            ey=setc(f.ey, ey, xn, yc, zn),
-            ez=setc(f.ez, ez, xn, yn, zc),
-            cbx=setc(f.cbx, bx, xn, yc, zc, scale=c),
-            cby=setc(f.cby, by, xc, yn, zc, scale=c),
-            cbz=setc(f.cbz, bz, xc, yc, zn, scale=c),
-        )
-        self._field_init = f
+        for region, exprs in self._field_ops:
+            for ekey, expr in exprs.items():
+                name = keymap[ekey]
+                xs, ys, zs = stagger[name]
+                Z, Y, X = np.meshgrid(zs, ys, xs, indexing="ij")
+                if callable(expr):
+                    vals = np.vectorize(expr, otypes=[np.float64])(X, Y, Z)
+                else:
+                    vals = np.full(X.shape, float(expr))
+                if callable(region):
+                    mask = np.vectorize(region, otypes=[bool])(X, Y, Z)
+                else:
+                    mask = np.full(X.shape, bool(region))
+                out[name] = np.where(mask, scales[name] * vals,
+                                     out[name]).astype(np.float32)
+        return out
 
     # ---------------- initialize (initialize.cc:5-64) ----------------
 
-    def _pack_species(self) -> Tuple[SpeciesState, ...]:
+    def _pack_species(self):
+        """Stage injected particles into device buffers; with a sharded grid,
+        bin per shard (global voxel -> (shard, local voxel)) and add the 3
+        leading mesh dims.  Returns (species_states, update_rhob_masks)."""
         g = self.grid
-        out = []
+        px, py, pz = g.topology
+        out, urbs = [], []
         for st in self.species:
             cap = st.params.capacity
-            n = len(st.xs)
-            if n > cap:
-                raise RuntimeError(
-                    f"species {st.params.name}: {n} staged > capacity {cap}")
-            s = SpeciesState.empty(cap)
-            if n:
-                a = np.asarray([r[:10] for r in st.xs], np.float64)
-                vox = (a[:, 3].astype(np.int64)
-                       + g.NX * (a[:, 4].astype(np.int64)
-                                 + g.NY * a[:, 5].astype(np.int64)))
-                live = np.zeros(cap, bool)
-                live[:n] = True
+            a = np.asarray([r[:10] for r in st.xs], np.float64) \
+                if st.xs else np.zeros((0, 10))
+            urb = np.asarray([r[11] for r in st.xs], bool) \
+                if st.xs else np.zeros((0,), bool)
+            gi = a[:, 3].astype(np.int64) if len(a) else np.zeros(0, np.int64)
+            gj = a[:, 4].astype(np.int64) if len(a) else np.zeros(0, np.int64)
+            gk = a[:, 5].astype(np.int64) if len(a) else np.zeros(0, np.int64)
+            sx = (gi - 1) // g.nx
+            sy_ = (gj - 1) // g.ny
+            sz_ = (gk - 1) // g.nz
+            li = gi - sx * g.nx
+            lj = gj - sy_ * g.ny
+            lk = gk - sz_ * g.nz
+            vox = (li + g.NX * (lj + g.NY * lk)).astype(np.int32)
 
-                def fill(col, dtype=np.float32):
-                    buf = np.zeros(cap, dtype)
-                    buf[:n] = a[:, col].astype(dtype)
-                    return jnp.asarray(buf)
+            shape = (px, py, pz, cap)
+            fbuf = {k: np.zeros(shape, np.float32)
+                    for k in ("dx", "dy", "dz", "ux", "uy", "uz", "w")}
+            ibuf = np.zeros(shape, np.int32)
+            lbuf = np.zeros(shape, bool)
+            ubuf = np.zeros(shape, bool)
+            counts = np.zeros((px, py, pz), np.int32)
+            shard_flat = (sx * py + sy_) * pz + sz_
+            order = np.argsort(shard_flat, kind="stable")
+            for idx in order:
+                s = (int(sx[idx]), int(sy_[idx]), int(sz_[idx]))
+                c = counts[s]
+                if c >= cap:
+                    raise RuntimeError(
+                        f"species {st.params.name}: shard {s} overflows "
+                        f"capacity {cap}")
+                fbuf["dx"][s + (c,)] = a[idx, 0]
+                fbuf["dy"][s + (c,)] = a[idx, 1]
+                fbuf["dz"][s + (c,)] = a[idx, 2]
+                fbuf["ux"][s + (c,)] = a[idx, 6]
+                fbuf["uy"][s + (c,)] = a[idx, 7]
+                fbuf["uz"][s + (c,)] = a[idx, 8]
+                fbuf["w"][s + (c,)] = a[idx, 9]
+                ibuf[s + (c,)] = vox[idx]
+                lbuf[s + (c,)] = True
+                ubuf[s + (c,)] = urb[idx]
+                counts[s] = c + 1
 
-                ibuf = np.zeros(cap, np.int32)
-                ibuf[:n] = vox.astype(np.int32)
-                s = s.replace(dx=fill(0), dy=fill(1), dz=fill(2),
-                              i=jnp.asarray(ibuf),
-                              ux=fill(6), uy=fill(7), uz=fill(8), w=fill(9),
-                              live=jnp.asarray(live), np=jnp.int32(n))
+            def maybe_squeeze(arr):
+                return arr[0, 0, 0] if not g.sharded else arr
+
+            s = SpeciesState(
+                dx=jnp.asarray(maybe_squeeze(fbuf["dx"])),
+                dy=jnp.asarray(maybe_squeeze(fbuf["dy"])),
+                dz=jnp.asarray(maybe_squeeze(fbuf["dz"])),
+                i=jnp.asarray(maybe_squeeze(ibuf)),
+                ux=jnp.asarray(maybe_squeeze(fbuf["ux"])),
+                uy=jnp.asarray(maybe_squeeze(fbuf["uy"])),
+                uz=jnp.asarray(maybe_squeeze(fbuf["uz"])),
+                w=jnp.asarray(maybe_squeeze(fbuf["w"])),
+                live=jnp.asarray(maybe_squeeze(lbuf)),
+                np=(jnp.asarray(counts) if g.sharded
+                    else jnp.int32(counts[0, 0, 0])))
             out.append(s)
-        return tuple(out)
+            urbs.append(jnp.asarray(maybe_squeeze(ubuf)))
+        return tuple(out), tuple(urbs)
+
+    def _build_initial_fields(self):
+        """Materialize the recorded region-field ops into a FieldState (with
+        the 3 leading mesh dims when sharded)."""
+        g = self.grid
+        px, py, pz = g.topology
+        if not g.sharded:
+            vals = self._materialize_fields((0, 0, 0))
+            f = FieldState.zeros(g)
+            return f.replace(**{k: jnp.asarray(v) for k, v in vals.items()})
+        comps = {k: np.zeros((px, py, pz) + g.shape, np.float32)
+                 for k in ("ex", "ey", "ez", "cbx", "cby", "cbz")}
+        for sx in range(px):
+            for sy in range(py):
+                for sz in range(pz):
+                    vals = self._materialize_fields((sx, sy, sz))
+                    for k, v in vals.items():
+                        comps[k][sx, sy, sz] = v
+        z = jnp.zeros((px, py, pz) + g.shape, jnp.float32)
+        f = FieldState(**{k: jnp.asarray(comps[k]) if k in comps else z
+                          for k in ("ex", "ey", "ez", "cbx", "cby", "cbz",
+                                    "tcax", "tcay", "tcaz", "jfx", "jfy",
+                                    "jfz", "rhof", "rhob", "div_e_err",
+                                    "div_b_err")})
+        return f
 
     def initialize(self, key=None) -> SimState:
         """Post-deck derived-state fixups (initialize.cc:5-64)."""
         g = self.grid
         m = self._material_coeffs()
-        f = self._field_init if self._field_init is not None else \
-            FieldState.zeros(g)
-        species = self._pack_species()
+        f = self._build_initial_fields()
+        species, urbs = self._pack_species()
 
-        @jax.jit
-        def _init(f, species):
+        def _init(state_in):
+            f, species, urbs = state_in
+            rhob = f.rhob.reshape(-1)
+            for st, sp, urb in zip(self.species, species, urbs):
+                rhob = P.deposit_rhob(rhob, g, sp.i, sp.dx, sp.dy, sp.dz,
+                                      sp.w, -st.params.q, urb & sp.live)
+            f = f.replace(rhob=rhob.reshape(g.shape))
             f, _ = F.synchronize_tang_e_norm_b(f, g)
             f = F.compute_div_b_err(f, g)
             f = F.clean_div_b(f, g)
@@ -370,11 +444,19 @@ class Simulation:
                 for st, sp in zip(self.species, species))
             return f, species
 
-        f, species = _init(f, species)
+        if g.sharded:
+            from .parallel.mesh import make_mesh, shard_fn
+            mesh = make_mesh(g)
+            f, species = jax.jit(shard_fn(_init, g, mesh))((f, species, urbs))
+        else:
+            f, species = jax.jit(_init)((f, species, urbs))
         if key is None:
             key = jax.random.PRNGKey(self._entropy.randint(0, 2**31 - 1))
-        return SimState(fields=f, species=species,
-                        step=jnp.int32(0), rng=key)
+        step0 = jnp.int32(0)
+        if g.sharded:
+            step0 = jnp.zeros(g.topology, jnp.int32)
+            key = jnp.broadcast_to(key, g.topology + key.shape)
+        return SimState(fields=f, species=species, step=step0, rng=key)
 
     # ---------------- the step (advance.cc:15-208) ----------------
 
@@ -413,12 +495,26 @@ class Simulation:
             fcoef = I.load_interpolator(f, g)
             acc = jnp.zeros((g.nv, 12), jnp.float32)
             rhob = f.rhob.reshape(-1)
+            pends, disps = [], []
             for k, spp in enumerate(sp_params):
                 res = P.advance_p(species[k], fcoef, g, spp.q, spp.m,
                                   acc, rhob, max_streak=self.max_streak)
                 species[k] = res.species
                 acc = res.acc
                 rhob = res.rhob_flat
+                pends.append(res.pend_face)
+                disps.append(res.pend_disp)
+
+            # --- boundary interaction + cross-shard migration
+            #     (boundary_p x num_comm_round, advance.cc:73-101) ---
+            needs_boundary = (g.sharded or self.pbc_handlers or
+                              any(bc <= -3 for bc in g.particle_bc))
+            if needs_boundary:
+                species, acc, rhob, _ = B.boundary_p(
+                    species, sp_params, pends, disps, acc, rhob, g,
+                    num_comm_round=self.num_comm_round,
+                    max_streak=self.max_streak,
+                    custom_handlers=self.pbc_handlers)
             f = f.replace(rhob=rhob.reshape(g.shape))
 
             # --- emission / user injection (advance.cc:58-60) ---
@@ -479,16 +575,36 @@ class Simulation:
 
         return advance
 
+    def make_step(self) -> Callable[[SimState], SimState]:
+        """The jitted full step: shard-local advance lifted over the device
+        mesh when the grid is decomposed."""
+        adv = self.make_advance()
+        if not self.grid.sharded:
+            return jax.jit(adv)
+        from .parallel.mesh import make_mesh, shard_fn
+        mesh = make_mesh(self.grid)
+        return jax.jit(shard_fn(adv, self.grid, mesh))
+
     # ---------------- diagnostics ----------------
+
+    def _energies_local(self, f, species):
+        g = self.grid
+        m = self._material_coeffs()
+        en_f = F.all_sum(F.energy_f(f, g, m), g)
+        fcoef = I.load_interpolator(f, g)
+        en_p = [F.all_sum(P.energy_p(sp, fcoef, g, st.params.q, st.params.m),
+                          g)
+                for st, sp in zip(self.species, species)]
+        return jnp.concatenate([en_f, jnp.stack(en_p)]) if en_p else en_f
 
     def energies(self, state: SimState):
         """dump_energies columns (dump.cc:37-77):
         [ex, ey, ez, bx, by, bz, KE_sp0, KE_sp1, ...]"""
         g = self.grid
-        m = self._material_coeffs()
-        f = state.fields
-        en_f = F.energy_f(f, g, m)
-        fcoef = I.load_interpolator(f, g)
-        en_p = [P.energy_p(sp, fcoef, g, st.params.q, st.params.m)
-                for st, sp in zip(self.species, state.species)]
-        return jnp.concatenate([en_f, jnp.stack(en_p)]) if en_p else en_f
+        if not g.sharded:
+            return self._energies_local(state.fields, state.species)
+        from .parallel.mesh import make_mesh, shard_reduce_fn
+        mesh = make_mesh(g)
+        fn = shard_reduce_fn(
+            lambda s: self._energies_local(s[0], s[1]), g, mesh)
+        return jax.jit(fn)((state.fields, state.species))

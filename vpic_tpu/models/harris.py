@@ -114,7 +114,10 @@ def build(p: HarrisParams = HarrisParams()) -> Simulation:
 
     # --- particles: Harris drifting maxwellian pairs (harris:253-286) ---
     rng = sim.rng(0)
-    n_inject = int(Ni / n_shards)
+    # The reference injects Ni/nproc pairs per rank with rank-local domain
+    # ownership (harris:253-286); staging here is global (the deck layer
+    # bins per shard), so inject all Ni pairs once.
+    n_inject = int(Ni)
     # vectorized staging (the reference loops one pair at a time)
     xs = np.empty(0)
     while xs.size < n_inject:

@@ -85,11 +85,48 @@ def _axes_of(axis: int) -> Tuple[int, int]:
 
 
 # ---------------------------------------------------------------------------
-# Ghost fills (local.c:50-215).  Periodic faces wrap; REMOTE faces are the
-# responsibility of the halo layer, which substitutes the neighbor's plane --
-# here they are treated as periodic wrap (correct for a 1-shard mesh and for
-# the shard-local view under shard_map once halo exchange swapped the planes).
+# Ghost fills (local.c:50-215) + halo exchange (remote.c:62-270).
+#
+# Periodic faces of an unsharded axis wrap locally; axes sharded over the
+# device mesh exchange boundary planes with lax.ppermute over ICI (requires
+# running inside shard_map with g.mesh_axes names).  When the global-domain
+# BC on a sharded axis is a local BC (pec/absorbing box decomposed over
+# devices), only the outermost shard applies the local rule; interior shards
+# take the remote plane -- selected with a where() on the shard index, which
+# is how SPMD replaces the reference's per-rank g->bc branching.
 # ---------------------------------------------------------------------------
+
+def _shard_halo_plane(a, axis: int, side: int, g: Grid):
+    """Neighbor shard's boundary plane for my ghost on (axis, side): every
+    shard sends plane(n) toward +axis for low ghosts (k -> k+1) or plane(1)
+    toward -axis for high ghosts (cyclic, so global periodic falls out)."""
+    n = (g.nx, g.ny, g.nz)[axis]
+    src = n if side < 0 else 1
+    plane = get_plane(a, axis, src)
+    ns = g.topology[axis]
+    shift = 1 if side < 0 else -1
+    perm = [(k, (k + shift) % ns) for k in range(ns)]
+    return jax.lax.ppermute(plane, g.mesh_axes[axis], perm)
+
+
+def _edge_scalar(g: Grid, axis: int, side: int):
+    """True on the shard owning the global-domain face (axis, side)."""
+    idx = jax.lax.axis_index(g.mesh_axes[axis])
+    return idx == (0 if side < 0 else g.topology[axis] - 1)
+
+
+def _ghost_value(local_fn, a, axis, side, bc, g: Grid):
+    """Combine the local-BC ghost rule with the sharded halo exchange."""
+    n = (g.nx, g.ny, g.nz)[axis]
+    wrap = n if side < 0 else 1
+    if g.topology[axis] == 1:
+        if bc == PERIODIC:
+            return get_plane(a, axis, wrap)
+        return local_fn()
+    remote = _shard_halo_plane(a, axis, side, g)
+    if bc == REMOTE:
+        return remote
+    return jnp.where(_edge_scalar(g, axis, side), local_fn(), remote)
 
 def ghost_tang_b(f: FieldState, g: Grid) -> FieldState:
     """local_ghost_tang_b (local.c:50-122): fill ghost tangential cB planes."""
@@ -104,46 +141,51 @@ def ghost_tang_b(f: FieldState, g: Grid) -> FieldState:
             bc = g.axis_bc(axis, side)
             ghost = 0 if side < 0 else n + 1
             mirror = 1 if side < 0 else n
-            wrap = n if side < 0 else 1
             for t in t_axes:
                 name = _CB[t]
                 a = comps[name]
-                if bc in (PERIODIC, REMOTE):
-                    val = get_plane(a, axis, wrap)
-                elif bc == ANTI_SYMMETRIC:
-                    val = get_plane(a, axis, mirror)
-                elif bc in (SYMMETRIC, PMC):
-                    val = -get_plane(a, axis, mirror)
-                elif bc == ABSORB_FIELDS:
-                    # Higdon/Mur hybrid ABC (local.c:82-107).  Updating ghost
-                    # cb_t couples to e_o (the other transverse component)
-                    # through t1 and to e_n (the face-normal component,
-                    # differenced along o) through t2; the reference's
-                    # (Z,Y)-edge loop (updating cb_Y, i.e. t == t_axes[0])
-                    # uses "- t1 + t2", the (Y,Z) loop (cb_Z) uses "+ t1 - t2".
-                    higend = 1.03527618 if (g.gnx > 1 or g.gny > 1 or
-                                            g.gnz > 1) else 1.0
-                    drive = cdt_dn * higend
-                    decay = (1.0 - drive) / (1.0 + drive)
-                    drive = 2.0 * drive / (1.0 + drive)
-                    o = t_axes[1] if t == t_axes[0] else t_axes[0]
-                    e_o = e[_E[o]]
-                    e_n = e[_E[axis]]
-                    face = 1 if side < 0 else n + 1
-                    t1 = cdt_dn * (get_plane(e_o, axis, face + (1 if side < 0 else -1))
-                                   - get_plane(e_o, axis, face))
-                    if side > 0:
-                        t1 = -t1
-                    cdt_do = g.cvac * g.dt * (g.rdx, g.rdy, g.rdz)[o]
-                    t2 = cdt_do * (_plane_shift(e_n, axis, mirror, o, +1)
-                                   - get_plane(e_n, axis, mirror))
-                    base = (decay * get_plane(a, axis, ghost)
-                            + drive * get_plane(a, axis, mirror))
-                    val = base - t1 + t2 if t == t_axes[0] else base + t1 - t2
-                else:
+
+                def local_fn(a=a, t=t, axis=axis, side=side, bc=bc,
+                             mirror=mirror, ghost=ghost, n=n, cdt_dn=cdt_dn,
+                             t_axes=t_axes):
+                    if bc in (PERIODIC, REMOTE):
+                        return get_plane(a, axis, n if side < 0 else 1)
+                    if bc == ANTI_SYMMETRIC:
+                        return get_plane(a, axis, mirror)
+                    if bc in (SYMMETRIC, PMC):
+                        return -get_plane(a, axis, mirror)
+                    if bc == ABSORB_FIELDS:
+                        # Higdon/Mur hybrid ABC (local.c:82-107).  Ghost cb_t
+                        # couples to e_o (the other transverse component)
+                        # through t1 and to e_n (the face-normal component,
+                        # differenced along o) through t2; the reference's
+                        # (Z,Y)-edge loop (updating cb_Y = t_axes[0]) uses
+                        # "- t1 + t2", the (Y,Z) loop (cb_Z) "+ t1 - t2".
+                        higend = 1.03527618 if (g.gnx > 1 or g.gny > 1 or
+                                                g.gnz > 1) else 1.0
+                        drive = cdt_dn * higend
+                        decay = (1.0 - drive) / (1.0 + drive)
+                        drive = 2.0 * drive / (1.0 + drive)
+                        o = t_axes[1] if t == t_axes[0] else t_axes[0]
+                        e_o = e[_E[o]]
+                        e_n = e[_E[axis]]
+                        face = 1 if side < 0 else n + 1
+                        t1 = cdt_dn * (
+                            get_plane(e_o, axis, face + (1 if side < 0 else -1))
+                            - get_plane(e_o, axis, face))
+                        if side > 0:
+                            t1 = -t1
+                        cdt_do = g.cvac * g.dt * (g.rdx, g.rdy, g.rdz)[o]
+                        t2 = cdt_do * (_plane_shift(e_n, axis, mirror, o, +1)
+                                       - get_plane(e_n, axis, mirror))
+                        base = (decay * get_plane(a, axis, ghost)
+                                + drive * get_plane(a, axis, mirror))
+                        return (base - t1 + t2 if t == t_axes[0]
+                                else base + t1 - t2)
                     raise ValueError(f"bad field bc {bc}")
+
+                val = _ghost_value(local_fn, a, axis, side, bc, g)
                 comps[name] = set_plane(a, axis, ghost, val)
-                a = comps[name]
     return f.replace(**comps)
 
 
@@ -182,18 +224,22 @@ def ghost_norm_e(f: FieldState, g: Grid) -> FieldState:
                 ghost = 0 if side < 0 else n + 1
                 m1 = 1 if side < 0 else n
                 m2 = 2 if side < 0 else n - 1
-                wrap = n if side < 0 else 1
-                if bc in (PERIODIC, REMOTE):
-                    val = get_plane(a, axis, wrap)
-                elif bc == ANTI_SYMMETRIC:
-                    val = get_plane(a, axis, m1)
-                elif bc in (SYMMETRIC, PMC):
-                    val = -get_plane(a, axis, m1)
-                elif bc == ABSORB_FIELDS:
-                    val = 2.0 * get_plane(a, axis, m1) - get_plane(a, axis, m2)
-                else:
+
+                def local_fn(a=a, bc=bc, axis=axis, side=side, m1=m1, m2=m2,
+                             n=n):
+                    if bc in (PERIODIC, REMOTE):
+                        return get_plane(a, axis, n if side < 0 else 1)
+                    if bc == ANTI_SYMMETRIC:
+                        return get_plane(a, axis, m1)
+                    if bc in (SYMMETRIC, PMC):
+                        return -get_plane(a, axis, m1)
+                    if bc == ABSORB_FIELDS:
+                        return (2.0 * get_plane(a, axis, m1)
+                                - get_plane(a, axis, m2))
                     raise ValueError(f"bad field bc {bc}")
-                a = set_plane(a, axis, ghost, val)
+
+                a = set_plane(a, axis, ghost,
+                              _ghost_value(local_fn, a, axis, side, bc, g))
             out[name] = a
     return f.replace(**out)
 
@@ -207,18 +253,20 @@ def ghost_div_b(f: FieldState, g: Grid) -> FieldState:
             bc = g.axis_bc(axis, side)
             ghost = 0 if side < 0 else n + 1
             mirror = 1 if side < 0 else n
-            wrap = n if side < 0 else 1
-            if bc in (PERIODIC, REMOTE):
-                val = get_plane(a, axis, wrap)
-            elif bc == ANTI_SYMMETRIC:
-                val = get_plane(a, axis, mirror)
-            elif bc in (SYMMETRIC, PMC):
-                val = -get_plane(a, axis, mirror)
-            elif bc == ABSORB_FIELDS:
-                val = jnp.zeros_like(get_plane(a, axis, mirror))
-            else:
+
+            def local_fn(a=a, bc=bc, axis=axis, side=side, mirror=mirror, n=n):
+                if bc in (PERIODIC, REMOTE):
+                    return get_plane(a, axis, n if side < 0 else 1)
+                if bc == ANTI_SYMMETRIC:
+                    return get_plane(a, axis, mirror)
+                if bc in (SYMMETRIC, PMC):
+                    return -get_plane(a, axis, mirror)
+                if bc == ABSORB_FIELDS:
+                    return jnp.zeros_like(get_plane(a, axis, mirror))
                 raise ValueError(f"bad field bc {bc}")
-            a = set_plane(a, axis, ghost, val)
+
+            a = set_plane(a, axis, ghost,
+                          _ghost_value(local_fn, a, axis, side, bc, g))
     return f.replace(div_b_err=a)
 
 
@@ -235,20 +283,29 @@ def _local_faces(g: Grid):
                 yield axis, side, bc
 
 
+def _set_boundary_plane(a, axis, side, g: Grid, new_plane):
+    """Set the boundary plane (index 1 or n+1); on device-mesh-sharded axes
+    only the shard owning the global face applies it."""
+    n = (g.nx, g.ny, g.nz)[axis]
+    face = 1 if side < 0 else n + 1
+    if g.topology[axis] > 1:
+        new_plane = jnp.where(_edge_scalar(g, axis, side), new_plane,
+                              get_plane(a, axis, face))
+    return set_plane(a, axis, face, new_plane)
+
+
 def adjust_tang_e(f: FieldState, g: Grid) -> FieldState:
     """local_adjust_tang_e: zero tangential E/TCA on pec boundary planes."""
     out = {}
     for axis, side, bc in _local_faces(g):
         if bc != ANTI_SYMMETRIC:
             continue
-        n = (g.nx, g.ny, g.nz)[axis]
-        face = 1 if side < 0 else n + 1
         for t in _axes_of(axis):
             for comp_set in (_E, _TCA):
                 name = comp_set[t]
                 a = out.get(name, getattr(f, name))
-                out[name] = set_plane(a, axis, face,
-                                      jnp.zeros_like(get_plane(a, axis, face)))
+                out[name] = _set_boundary_plane(
+                    a, axis, side, g, jnp.zeros_like(get_plane(a, axis, 1)))
     return f.replace(**out) if out else f
 
 
@@ -258,12 +315,10 @@ def adjust_norm_b(f: FieldState, g: Grid) -> FieldState:
     for axis, side, bc in _local_faces(g):
         if bc != SYMMETRIC:
             continue
-        n = (g.nx, g.ny, g.nz)[axis]
-        face = 1 if side < 0 else n + 1
         name = _CB[axis]
         a = out.get(name, getattr(f, name))
-        out[name] = set_plane(a, axis, face,
-                              jnp.zeros_like(get_plane(a, axis, face)))
+        out[name] = _set_boundary_plane(
+            a, axis, side, g, jnp.zeros_like(get_plane(a, axis, 1)))
     return f.replace(**out) if out else f
 
 
@@ -274,9 +329,8 @@ def adjust_div_e_err(f: FieldState, g: Grid) -> FieldState:
     for axis, side, bc in _local_faces(g):
         if bc not in (ANTI_SYMMETRIC, ABSORB_FIELDS):
             continue
-        n = (g.nx, g.ny, g.nz)[axis]
-        face = 1 if side < 0 else n + 1
-        a = set_plane(a, axis, face, jnp.zeros_like(get_plane(a, axis, face)))
+        a = _set_boundary_plane(a, axis, side, g,
+                                jnp.zeros_like(get_plane(a, axis, 1)))
         changed = True
     return f.replace(div_e_err=a) if changed else f
 
@@ -292,8 +346,8 @@ def adjust_jf(f: FieldState, g: Grid) -> FieldState:
         for t in _axes_of(axis):
             name = _JF[t]
             a = out.get(name, getattr(f, name))
-            out[name] = set_plane(a, axis, face,
-                                  scale * get_plane(a, axis, face))
+            out[name] = _set_boundary_plane(
+                a, axis, side, g, scale * get_plane(a, axis, face))
     return f.replace(**out) if out else f
 
 
@@ -305,7 +359,8 @@ def adjust_rhof(f: FieldState, g: Grid) -> FieldState:
         n = (g.nx, g.ny, g.nz)[axis]
         face = 1 if side < 0 else n + 1
         scale = 0.0 if bc == ANTI_SYMMETRIC else 2.0
-        a = set_plane(a, axis, face, scale * get_plane(a, axis, face))
+        a = _set_boundary_plane(a, axis, side, g,
+                                scale * get_plane(a, axis, face))
         changed = True
     return f.replace(rhof=a) if changed else f
 
@@ -317,35 +372,79 @@ def adjust_rhob(f: FieldState, g: Grid) -> FieldState:
     for axis, side, bc in _local_faces(g):
         if bc != ANTI_SYMMETRIC:
             continue
-        n = (g.nx, g.ny, g.nz)[axis]
-        face = 1 if side < 0 else n + 1
-        a = set_plane(a, axis, face, jnp.zeros_like(get_plane(a, axis, face)))
+        a = _set_boundary_plane(a, axis, side, g,
+                                jnp.zeros_like(get_plane(a, axis, 1)))
         changed = True
     return f.replace(rhob=a) if changed else f
 
 
 # ---------------------------------------------------------------------------
-# Shared-face synchronization (remote.c:298-619).  Single-shard PERIODIC faces
-# combine plane 1 with plane n+1; REMOTE faces are combined by the halo layer.
+# Shared-face synchronization (remote.c:298-619).  Unsharded PERIODIC axes
+# combine plane 1 with plane n+1 locally; device-mesh-sharded axes exchange
+# boundary planes with the +/- neighbors via ppermute and combine (the
+# combine is commutative so both sides compute bitwise-identical results,
+# which is the determinism property the reference gets from its exchange).
 # ---------------------------------------------------------------------------
 
-def _periodic_axes(g: Grid):
+def _sync_axes(g: Grid):
+    """Axes whose boundary planes are shared: (axis, cross_shard?)."""
     for axis in range(3):
-        if g.axis_bc(axis, -1) == PERIODIC and g.axis_bc(axis, 1) == PERIODIC:
-            yield axis
+        if g.topology[axis] > 1:
+            yield axis, True
+        elif (g.axis_bc(axis, -1) == PERIODIC
+              and g.axis_bc(axis, 1) == PERIODIC):
+            yield axis, False
 
 
-def _combine_shared(a, axis: int, n: int, mode: str):
+def _combine(lo, hi, mode):
+    if mode == "sum":
+        return lo + hi
+    if mode == "avg":
+        return 0.5 * (lo + hi)
+    raise ValueError(mode)
+
+
+def _combine_shared(a, axis: int, g: Grid, cross: bool, mode: str,
+                    want_err: bool = False):
+    n = (g.nx, g.ny, g.nz)[axis]
     lo = get_plane(a, axis, 1)
     hi = get_plane(a, axis, n + 1)
-    if mode == "sum":
-        v = lo + hi
-    elif mode == "avg":
-        v = 0.5 * (lo + hi)
-    else:
-        raise ValueError(mode)
-    a = set_plane(a, axis, 1, v)
-    return set_plane(a, axis, n + 1, v)
+    err = None
+    if not cross:
+        v = _combine(lo, hi, mode)
+        if want_err:
+            err = jnp.sum((lo - hi) ** 2)
+        a = set_plane(a, axis, 1, v)
+        a = set_plane(a, axis, n + 1, v)
+        return a, err
+    name = g.mesh_axes[axis]
+    ns = g.topology[axis]
+    up = [(k, (k + 1) % ns) for k in range(ns)]
+    down = [(k, (k - 1) % ns) for k in range(ns)]
+    recv_lo = jax.lax.ppermute(hi, name, up)    # neighbor k-1's high plane
+    recv_hi = jax.lax.ppermute(lo, name, down)  # neighbor k+1's low plane
+    new_lo = _combine(lo, recv_lo, mode)
+    new_hi = _combine(hi, recv_hi, mode)
+    if want_err:
+        err = jnp.sum((lo - recv_lo) ** 2) + jnp.sum((hi - recv_hi) ** 2)
+    bc_lo = g.axis_bc(axis, -1)
+    bc_hi = g.axis_bc(axis, 1)
+    if bc_lo != REMOTE:  # global-domain local BC: edge shard keeps its plane
+        new_lo = jnp.where(_edge_scalar(g, axis, -1), lo, new_lo)
+    if bc_hi != REMOTE:
+        new_hi = jnp.where(_edge_scalar(g, axis, 1), hi, new_hi)
+    a = set_plane(a, axis, 1, new_lo)
+    a = set_plane(a, axis, n + 1, new_hi)
+    return a, err
+
+
+def all_sum(x, g: Grid):
+    """mp_allsum analogue: psum over all sharded mesh axes (inside
+    shard_map); identity on a single shard."""
+    names = tuple(n for n, t in zip(g.mesh_axes, g.topology) if t > 1)
+    if not names:
+        return x
+    return jax.lax.psum(x, names)
 
 
 def synchronize_jf(f: FieldState, g: Grid) -> FieldState:
@@ -353,10 +452,10 @@ def synchronize_jf(f: FieldState, g: Grid) -> FieldState:
     of the tangential current components."""
     f = adjust_jf(f, g)
     out = {name: getattr(f, name) for name in _JF}
-    for axis in _periodic_axes(g):
-        n = (g.nx, g.ny, g.nz)[axis]
+    for axis, cross in _sync_axes(g):
         for t in _axes_of(axis):
-            out[_JF[t]] = _combine_shared(out[_JF[t]], axis, n, "sum")
+            out[_JF[t]], _ = _combine_shared(out[_JF[t]], axis, g, cross,
+                                             "sum")
     return f.replace(**out)
 
 
@@ -366,10 +465,9 @@ def synchronize_rho(f: FieldState, g: Grid) -> FieldState:
     f = adjust_rhof(f, g)
     f = adjust_rhob(f, g)
     rhof, rhob = f.rhof, f.rhob
-    for axis in _periodic_axes(g):
-        n = (g.nx, g.ny, g.nz)[axis]
-        rhof = _combine_shared(rhof, axis, n, "sum")
-        rhob = _combine_shared(rhob, axis, n, "avg")
+    for axis, cross in _sync_axes(g):
+        rhof, _ = _combine_shared(rhof, axis, g, cross, "sum")
+        rhob, _ = _combine_shared(rhob, axis, g, cross, "avg")
     return f.replace(rhof=rhof, rhob=rhob)
 
 
@@ -381,24 +479,19 @@ def synchronize_tang_e_norm_b(f: FieldState, g: Grid):
     f = adjust_norm_b(f, g)
     err = jnp.zeros((), jnp.float32)
     out = {n: getattr(f, n) for n in (_CB + _E + _TCA)}
-    for axis in _periodic_axes(g):
-        n = (g.nx, g.ny, g.nz)[axis]
-        # Normal cB on the shared face.
+    for axis, cross in _sync_axes(g):
         name = _CB[axis]
-        lo = get_plane(out[name], axis, 1)
-        hi = get_plane(out[name], axis, n + 1)
-        err = err + jnp.sum((lo - hi) ** 2)
-        out[name] = _combine_shared(out[name], axis, n, "avg")
-        # Tangential E and TCA on the shared plane.
+        out[name], e = _combine_shared(out[name], axis, g, cross, "avg",
+                                       want_err=True)
+        err = err + e
         for t in _axes_of(axis):
             ename = _E[t]
-            lo = get_plane(out[ename], axis, 1)
-            hi = get_plane(out[ename], axis, n + 1)
-            err = err + jnp.sum((lo - hi) ** 2)
-            out[ename] = _combine_shared(out[ename], axis, n, "avg")
+            out[ename], e = _combine_shared(out[ename], axis, g, cross,
+                                            "avg", want_err=True)
+            err = err + e
             tname = _TCA[t]
-            out[tname] = _combine_shared(out[tname], axis, n, "avg")
-    return f.replace(**out), err
+            out[tname], _ = _combine_shared(out[tname], axis, g, cross, "avg")
+    return f.replace(**out), all_sum(err, g)
 
 
 # ---------------------------------------------------------------------------

@@ -41,10 +41,13 @@ TWO_FIFTEENTHS = 2.0 / 15.0
 BIG = 3.4e38
 
 # pend_face codes produced by the walk for particles that could not finish
-# locally: -1 = finished locally, 0..5 = left through that face (remote /
-# custom BC; handled by boundary_p), 6 = ran out of streak iterations.
+# locally: -1 = finished locally, 0..5 = left through that face toward a
+# neighboring shard (migrated by boundary_p), 6 = ran out of streak
+# iterations, 8..13 = hit a custom particle BC on face (code - 8)
+# (dispatched to the registered handler by boundary_p).
 DONE = -1
 UNFINISHED = 6
+CUSTOM_BASE = 8
 
 
 class PushResult(NamedTuple):
@@ -172,43 +175,47 @@ def accumulate_rho_p(rhof_flat, sp: SpeciesState, g: Grid, qsp):
                                                mode="drop")
 
 
-def advance_p(sp: SpeciesState, fcoef, g: Grid, qsp: float, msp: float,
-              acc, rhob_flat, max_streak: int = 4) -> PushResult:
-    """One leapfrog step for one species (see module docstring).
+def _ensure_varying(a, names):
+    """Mark a (possibly replicated) value as mesh-varying over ``names`` so
+    shard_map loop carries type-check; no-op for already-varying leaves."""
+    try:
+        vma = jax.typeof(a).vma
+    except Exception:
+        return a
+    missing = tuple(n for n in names if n not in vma)
+    if not missing:
+        return a
+    return jax.lax.pcast(a, missing, to="varying")
 
-    ``acc`` is the shared (nv, 12) accumulator: contributions from every
-    species add into it, like the reference's single accumulator array."""
-    N = sp.capacity
-    qdt_2mc = (qsp * g.dt) / (2.0 * msp * g.cvac)
-    cdt_dx = g.cvac * g.dt * g.rdx
-    cdt_dy = g.cvac * g.dt * g.rdy
-    cdt_dz = g.cvac * g.dt * g.rdz
-    alive = sp.alive
 
-    dx, dy, dz = sp.dx, sp.dy, sp.dz
-    rows = fcoef[sp.i]
-    hax, hay, haz, cbx, cby, cbz = _interp_fields(rows, dx, dy, dz, qdt_2mc)
+def _edge_masks(g: Grid, ax: int):
+    """For a device-mesh-sharded axis, whether THIS shard owns the global
+    low/high domain face (requires being inside shard_map).  Unsharded axes
+    always own both."""
+    if g.topology[ax] == 1:
+        return True, True
+    idx = jax.lax.axis_index(g.mesh_axes[ax])
+    return idx == 0, idx == g.topology[ax] - 1
 
-    ux = sp.ux + hax
-    uy = sp.uy + hay
-    uz = sp.uz + haz
-    ux, uy, uz = _boris_rotate(ux, uy, uz, cbx, cby, cbz, qdt_2mc)
-    ux = ux + hax
-    uy = uy + hay
-    uz = uz + haz
 
-    # Normalized half-displacement in voxel-offset units
-    # (advance_p_pipeline.cc:142-151).
-    rgamma = jax.lax.rsqrt(1.0 + (ux * ux + (uy * uy + uz * uz)))
-    dispx = ux * cdt_dx * rgamma
-    dispy = uy * cdt_dy * rgamma
-    dispz = uz * cdt_dz * rgamma
+def streak_walk(g: Grid, qsp, w, pos, disp, coords, u, active, alive,
+                pend, acc, rhob, max_streak: int):
+    """The move_p streak walk (move_p.cc:216-353) over all lanes at once.
 
-    # Decode voxel coords once; carried through the walk.
-    zi, r = jnp.divmod(sp.i, g.sz)
-    yi, xi = jnp.divmod(r, g.sy)
+    Shared by advance_p (every particle starts here; in-bounds lanes finish
+    on the first sub-streak with deposits identical to the reference's
+    inline ACCUMULATE_J path) and by boundary_p migration rounds
+    (continuation of received particles' remaining displacement).
 
-    q0 = jnp.where(alive, qsp * sp.w, 0.0)
+    pos/disp/coords/u are (x, y, z) triples of (N,) arrays; returns the
+    updated tuples plus pend/acc/rhob.  Lanes with pend >= 0 hit a remote
+    or custom face and keep their remaining displacement for boundary_p.
+    """
+    px, py, pz = pos
+    dpx, dpy, dpz = disp
+    xi, yi, zi = coords
+    ux, uy, uz = u
+    q0 = jnp.where(alive, qsp * w, 0.0)
 
     def streak(carry, _):
         (px, py, pz, dpx, dpy, dpz, xi, yi, zi,
@@ -289,8 +296,24 @@ def advance_p(sp: SpeciesState, fcoef, g: Grid, qsp: float, msp: float,
             coord = jnp.where(inside, new_coord, coord)
             flip = inside
 
-            for side, out_m in ((-1, out_lo), (1, out_hi)):
+            is_lo_edge, is_hi_edge = _edge_masks(g, ax)
+            for side, out_all in ((-1, out_lo), (1, out_hi)):
                 bc = g.axis_bc(ax, side, particles=True)
+                is_edge = is_lo_edge if side < 0 else is_hi_edge
+                face = ax + (0 if side < 0 else 3)
+                # On a device-mesh-sharded axis, only the outermost shard
+                # applies the global-domain BC; interior faces migrate.
+                if g.topology[ax] > 1 and bc != P_REMOTE:
+                    out_m = out_all & is_edge
+                    out_remote = out_all & ~is_edge
+                    pend = jnp.where(out_remote, face, pend)
+                    active = active & ~out_remote
+                elif bc == P_REMOTE:
+                    out_m = jnp.zeros_like(out_all)
+                    pend = jnp.where(out_all, face, pend)
+                    active = active & ~out_all
+                else:
+                    out_m = out_all
                 if bc == P_PERIODIC:
                     wrapped = jnp.where(side < 0, n_ax, 1)
                     coord = jnp.where(out_m, wrapped, coord)
@@ -310,14 +333,13 @@ def advance_p(sp: SpeciesState, fcoef, g: Grid, qsp: float, msp: float,
                 elif bc == ABSORB_PARTICLES:
                     vox_now = xi + g.NX * (yi + g.NY * zi)
                     rhob = deposit_rhob(rhob, g, vox_now, px, py, pz,
-                                        sp.w, qsp, out_m & alive)
+                                        w, qsp, out_m & alive)
                     alive = alive & ~out_m
                     active = active & ~out_m
-                else:
-                    # Remote shard or custom particle BC: park the particle
-                    # for boundary_p (face code, remaining displacement kept).
-                    face = ax + (0 if side < 0 else 3)
-                    pend = jnp.where(out_m, face, pend)
+                elif bc != P_REMOTE:
+                    # Custom particle BC (maxwellian_reflux, absorb_tally,
+                    # ...): park for boundary_p with the face code.
+                    pend = jnp.where(out_m, CUSTOM_BASE + face, pend)
                     active = active & ~out_m
 
             # write back voxel coord and offset flip
@@ -335,28 +357,78 @@ def advance_p(sp: SpeciesState, fcoef, g: Grid, qsp: float, msp: float,
                  ux, uy, uz, active, alive, pend, acc, rhob)
         return carry, None
 
-    pend0 = jnp.full((N,), DONE, jnp.int32)
-    carry = (dx, dy, dz, dispx, dispy, dispz, xi, yi, zi,
-             ux, uy, uz, alive, alive, pend0, acc, rhob_flat)
-    for _ in range(max_streak):
-        carry, _ = streak(carry, None)
+    carry = (px, py, pz, dpx, dpy, dpz, xi, yi, zi,
+             ux, uy, uz, active, alive, pend, acc, rhob)
+    # Under shard_map the state is varying over all three mesh axes (even
+    # size-1 ones), so constant-initialized carries must be cast likewise.
+    names = g.mesh_axes if g.sharded else ()
+    if names:
+        # Inside shard_map, loop carries must have consistent varying-axis
+        # types; replicated-constant inits (zeros) become varying in the body.
+        carry = jax.tree.map(lambda a: _ensure_varying(a, names), carry)
+    # fori_loop (not unrolled) keeps the compiled graph one-streak-body big.
+    carry = jax.lax.fori_loop(0, max_streak,
+                              lambda _, c: streak(c, None)[0], carry)
     (px, py, pz, dpx, dpy, dpz, xi, yi, zi,
-     ux, uy, uz, active, alive, pend, acc, rhob_flat) = carry
+     ux, uy, uz, active, alive, pend, acc, rhob) = carry
 
     # Lanes still active after max_streak ran out of iterations.
     pend = jnp.where(active, UNFINISHED, pend)
+    return ((px, py, pz), (dpx, dpy, dpz), (xi, yi, zi), (ux, uy, uz),
+            alive, pend, acc, rhob)
 
-    vox = xi + g.NX * (yi + g.NY * zi)
+
+def advance_p(sp: SpeciesState, fcoef, g: Grid, qsp: float, msp: float,
+              acc, rhob_flat, max_streak: int = 4) -> PushResult:
+    """One leapfrog step for one species (see module docstring).
+
+    ``acc`` is the shared (nv, 12) accumulator: contributions from every
+    species add into it, like the reference's single accumulator array."""
+    N = sp.capacity
+    qdt_2mc = (qsp * g.dt) / (2.0 * msp * g.cvac)
+    cdt_dx = g.cvac * g.dt * g.rdx
+    cdt_dy = g.cvac * g.dt * g.rdy
+    cdt_dz = g.cvac * g.dt * g.rdz
+    alive = sp.alive
+
+    dx, dy, dz = sp.dx, sp.dy, sp.dz
+    rows = fcoef[sp.i]
+    hax, hay, haz, cbx, cby, cbz = _interp_fields(rows, dx, dy, dz, qdt_2mc)
+
+    ux = sp.ux + hax
+    uy = sp.uy + hay
+    uz = sp.uz + haz
+    ux, uy, uz = _boris_rotate(ux, uy, uz, cbx, cby, cbz, qdt_2mc)
+    ux = ux + hax
+    uy = uy + hay
+    uz = uz + haz
+
+    # Normalized half-displacement in voxel-offset units
+    # (advance_p_pipeline.cc:142-151).
+    rgamma = jax.lax.rsqrt(1.0 + (ux * ux + (uy * uy + uz * uz)))
+    dispx = ux * cdt_dx * rgamma
+    dispy = uy * cdt_dy * rgamma
+    dispz = uz * cdt_dz * rgamma
+
+    # Decode voxel coords once; carried through the walk.
+    zi, r = jnp.divmod(sp.i, g.sz)
+    yi, xi = jnp.divmod(r, g.sy)
+
+    pend0 = jnp.full((N,), DONE, jnp.int32)
+    (pos, disp, coords, u, alive, pend, acc, rhob_flat) = streak_walk(
+        g, qsp, sp.w, (dx, dy, dz), (dispx, dispy, dispz), (xi, yi, zi),
+        (ux, uy, uz), alive, alive, pend0, acc, rhob_flat, max_streak)
+
+    vox = coords[0] + g.NX * (coords[1] + g.NY * coords[2])
     new_sp = sp.replace(
-        dx=px, dy=py, dz=pz, i=vox,
-        ux=ux, uy=uy, uz=uz,
+        dx=pos[0], dy=pos[1], dz=pos[2], i=vox,
+        ux=u[0], uy=u[1], uz=u[2],
         w=jnp.where(alive, sp.w, 0.0),
         live=alive,
         np=jnp.sum(alive.astype(jnp.int32)),
     )
-    n_pend = jnp.sum((pend >= 0).astype(jnp.int32))
-    return PushResult(new_sp, acc, rhob_flat, pend,
-                      (dpx, dpy, dpz), n_pend)
+    n_pend = jnp.sum((pend >= 0) & (pend < UNFINISHED))
+    return PushResult(new_sp, acc, rhob_flat, pend, disp, n_pend)
 
 
 def center_p(sp: SpeciesState, fcoef, g: Grid, qsp, msp) -> SpeciesState:
