@@ -1,0 +1,162 @@
+"""Collision-operator tests: conservation laws, thermalization and
+isotropization (the physics oracles of sample/bench/collision and the
+deck-level T&A operator)."""
+
+import dataclasses
+import math
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from vpic_tpu import collision as C
+from vpic_tpu.grid import partition_periodic_box
+from vpic_tpu.state import SpeciesParams, SpeciesState
+
+
+def make_species(n, uth=(0.1, 0.1, 0.1), seed=0, cap=None, g=None):
+    rng = np.random.RandomState(seed)
+    cap = cap or n
+    sp = SpeciesState.empty(cap)
+    vox = []
+    for _ in range(n):
+        x, y, z = rng.randint(1, g.nx + 1), rng.randint(1, g.ny + 1), \
+            rng.randint(1, g.nz + 1)
+        vox.append(g.voxel(x, y, z))
+    live = np.zeros(cap, bool)
+    live[:n] = True
+    arr = lambda c: jnp.asarray(np.concatenate(
+        [c, np.zeros(cap - n)]).astype(np.float32))
+    return sp.replace(
+        i=jnp.asarray(np.concatenate([vox, np.zeros(cap - n)]).astype(np.int32)),
+        ux=arr(rng.normal(0, uth[0], n)), uy=arr(rng.normal(0, uth[1], n)),
+        uz=arr(rng.normal(0, uth[2], n)), w=arr(np.ones(n)),
+        live=jnp.asarray(live), np=jnp.int32(n))
+
+
+def grid(n=4, dt=0.1):
+    return dataclasses.replace(
+        partition_periodic_box(0, 0, 0, 1, 1, 1, n, n, n), dt=dt)
+
+
+def moments(sp):
+    m = np.asarray(sp.live)
+    u = np.stack([np.asarray(sp.ux)[m], np.asarray(sp.uy)[m],
+                  np.asarray(sp.uz)[m]])
+    return u.sum(axis=1), (u * u).sum()
+
+
+def test_hard_sphere_conserves_momentum_energy():
+    g = grid()
+    spp = SpeciesParams("a", 1.0, 1.0, 4096)
+    sp = make_species(2048, uth=(0.2, 0.2, 0.2), g=g, cap=4096)
+    model = C.hard_sphere_model(0.3, 0.3)
+    op = C.make_binary_op(model, 0, 0, spp, spp, sample=1.0, interval=1)
+    p0, e0 = moments(sp)
+    key = jax.random.PRNGKey(0)
+    species, _ = op([sp], None, g, jnp.int32(0), key)
+    p1, e1 = moments(species[0])
+    np.testing.assert_allclose(p1, p0, atol=2e-4 * math.sqrt(e0))
+    assert abs(e1 - e0) / e0 < 1e-4
+    # and something actually scattered
+    assert not np.allclose(np.asarray(sp.ux), np.asarray(species[0].ux))
+
+
+def test_takizuka_abe_isotropizes():
+    """Anisotropic distribution relaxes toward isotropy under T&A
+    intraspecies collisions; energy conserved."""
+    g = grid(dt=0.5)
+    spp = SpeciesParams("e", -1.0, 1.0, 8192)
+    sp = make_species(8192, uth=(0.3, 0.1, 0.1), g=g, cap=8192)
+    op = C.make_takizuka_abe_op(0, 0, spp, spp, g, log_lambda=10.0,
+                                n0=200.0, interval=1)
+    key = jax.random.PRNGKey(1)
+    _, e0 = moments(sp)
+
+    def Ts(s):
+        m = np.asarray(s.live)
+        return [float(np.var(np.asarray(u)[m]))
+                for u in (s.ux, s.uy, s.uz)]
+
+    T0 = Ts(sp)
+    aniso0 = T0[0] / (0.5 * (T0[1] + T0[2]))
+    species = [sp]
+    for step in range(30):
+        species, key = op(species, None, g, jnp.int32(step), key)
+    T1 = Ts(species[0])
+    aniso1 = T1[0] / (0.5 * (T1[1] + T1[2]))
+    _, e1 = moments(species[0])
+    assert abs(e1 - e0) / e0 < 5e-3       # elastic scattering
+    assert aniso0 > 5.0                   # started anisotropic
+    assert aniso1 < 0.6 * aniso0          # relaxing toward 1
+
+
+def test_interspecies_coulomb_momentum_exchange():
+    """Drifting light species against heavy species: drift decays, total
+    momentum conserved."""
+    g = grid(dt=0.2)
+    se = SpeciesParams("e", -1.0, 1.0, 4096, id=0)
+    si = SpeciesParams("i", 1.0, 5.0, 4096, id=1)
+    spe = make_species(4096, uth=(0.05, 0.05, 0.05), seed=1, g=g)
+    spe = spe.replace(ux=spe.ux + 0.3)    # electron drift
+    spi = make_species(4096, uth=(0.02, 0.02, 0.02), seed=2, g=g)
+    model = C.large_angle_coulomb_model(-1.0, 1.0, 1.0, 5.0, bmax=0.35)
+    op = C.make_binary_op(model, 0, 1, se, si, interval=1)
+    key = jax.random.PRNGKey(2)
+    species = [spe, spi]
+    pe0 = float(jnp.sum(jnp.where(spe.live, spe.ux, 0.0)))
+    ptot0 = (1.0 * pe0
+             + 5.0 * float(jnp.sum(jnp.where(spi.live, spi.ux, 0.0))))
+    for step in range(20):
+        species, key = op(species, None, g, jnp.int32(step), key)
+    pe1 = float(jnp.sum(jnp.where(species[0].live, species[0].ux, 0.0)))
+    ptot1 = (1.0 * pe1
+             + 5.0 * float(jnp.sum(jnp.where(species[1].live,
+                                             species[1].ux, 0.0))))
+    assert abs(ptot1 - ptot0) < 2e-3 * abs(pe0)   # momentum conserved
+    assert pe1 < 0.8 * pe0                        # drift slowing down
+
+
+def test_langevin_thermalizes():
+    g = grid(dt=0.1)
+    spp = SpeciesParams("e", -1.0, 1.0, 8192)
+    sp = make_species(8192, uth=(0.01, 0.01, 0.01), g=g)
+    kT = 0.04
+    op = C.make_langevin_op(0, spp, kT=kT, nu=2.0, interval=1)
+    key = jax.random.PRNGKey(3)
+    species = [sp]
+    for step in range(40):
+        species, key = op(species, None, g, jnp.int32(step), key)
+    m = np.asarray(species[0].live)
+    var = np.var(np.asarray(species[0].ux)[m])
+    np.testing.assert_allclose(var, kT, rtol=0.1)
+
+
+def test_unary_framework():
+    """hard_sphere_fluid: per-particle scattering off a fixed background
+    slows a beam (isotropizes its direction)."""
+    g = grid(dt=0.05)
+    sp = make_species(4096, uth=(0.01, 0.01, 0.01), g=g)
+    sp = sp.replace(uz=sp.uz + 0.5)
+    rate = C.hard_sphere_fluid_rate(n_bg=50.0, radius=0.2)
+
+    def collide(key, ux, uy, uz, hit):
+        # isotropic redirection preserving speed (simple test model)
+        n = jax.random.normal(key, (3,) + ux.shape)
+        nn = n / jnp.sqrt(jnp.sum(n * n, 0))
+        s = jnp.sqrt(ux ** 2 + uy ** 2 + uz ** 2)
+        return (jnp.where(hit, s * nn[0], ux),
+                jnp.where(hit, s * nn[1], uy),
+                jnp.where(hit, s * nn[2], uz))
+
+    op = C.make_unary_op(0, rate, collide, interval=1)
+    key = jax.random.PRNGKey(4)
+    species = [sp]
+    uz0 = float(jnp.mean(jnp.where(sp.live, sp.uz, 0)))
+    e0 = moments(sp)[1]
+    for step in range(10):
+        species, key = op(species, None, g, jnp.int32(step), key)
+    uz1 = float(jnp.mean(jnp.where(species[0].live, species[0].uz, 0)))
+    e1 = moments(species[0])[1]
+    assert uz1 < 0.5 * uz0            # beam scattered
+    assert abs(e1 - e0) / e0 < 1e-3   # elastic
