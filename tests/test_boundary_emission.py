@@ -1,0 +1,96 @@
+"""Custom particle BCs (maxwellian_reflux, absorb_tally) and the
+child-langmuir surface emitter, exercised through the full deck step
+(lpi_2d_F6_test-style usage: absorbing box + reflux wall + emission)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from vpic_tpu import boundary_ops as BO
+from vpic_tpu import emitter as E
+from vpic_tpu.deck import Simulation
+from vpic_tpu.grid import ABSORB_FIELDS, ABSORB_PARTICLES, BOUNDARY
+
+
+def base_sim(nx=8, pbc_handler=None):
+    sim = Simulation(seed=0)
+    sim.define_units(1.0, 1.0)
+    sim.define_timestep(0.04)
+    sim.define_periodic_grid((0, 0, 0), (1, 1, 1), (nx, nx, nx))
+    if pbc_handler is not None:
+        sim.set_domain_field_bc(BOUNDARY(1, 0, 0), ABSORB_FIELDS)
+        sim.set_domain_particle_bc(BOUNDARY(1, 0, 0), pbc_handler)
+    sim.define_material("vacuum", 1.0)
+    sim.define_field_array(damp=0.0)
+    return sim
+
+
+def test_maxwellian_reflux_conserves_particles():
+    mr = BO.maxwellian_reflux({"beam": 0.15}, {"beam": 0.05})
+    sim = base_sim(pbc_handler=mr)
+    spc = sim.define_species("beam", 1e-20, 1.0, 512, -1, 0, 1)
+    v = 0.4
+    u = v / np.sqrt(1 - v * v)
+    for k in range(50):
+        sim.inject_particle(spc, 0.9, (k % 7 + 0.5) / 8, (k % 5 + 0.5) / 8,
+                            u, 0, 0, 1.0)
+    state = sim.initialize()
+    step = jax.jit(sim.make_advance())
+    n0 = int(state.species[0].np)
+    for _ in range(12):   # enough steps to hit the +x wall
+        state = step(state)
+    sp = state.species[0]
+    assert int(sp.np) == n0          # refluxed, not absorbed
+    live = np.asarray(sp.live)
+    ux = np.asarray(sp.ux)[live]
+    assert (ux < 0).any()            # some particles now travel backwards
+    # refluxed momenta follow the new thermal scales, not the beam
+    assert np.abs(ux[ux < 0]).max() < 1.0
+
+
+def test_absorb_tally_removes_and_charges():
+    # test charge small enough that self-fields don't turn the beam around
+    q = 1e-6
+    at = BO.absorb_tally()
+    sim = base_sim(pbc_handler=at)
+    spc = sim.define_species("beam", q, 1.0, 512, -1, 0, 1)
+    v = 0.4
+    u = v / np.sqrt(1 - v * v)
+    n_inj = 30
+    for k in range(n_inj):
+        sim.inject_particle(spc, 0.9, (k % 7 + 0.5) / 8, (k % 5 + 0.5) / 8,
+                            u, 0, 0, 1.0)
+    state = sim.initialize()
+    step = jax.jit(sim.make_advance())
+    for _ in range(12):
+        state = step(state)
+    sp = state.species[0]
+    assert int(sp.np) == 0           # all absorbed at the wall
+    # absorbed charge ended up in rhob (pre-doubled at the boundary nodes)
+    g = sim.grid
+    rhob_tot = float(jnp.sum(state.fields.rhob))
+    assert rhob_tot > 0.5 * n_inj * q / g.dV
+
+
+def test_child_langmuir_emits():
+    sim = base_sim()
+    spc = sim.define_species("electron", -1.0, 1.0, 8192, -1, 0, 1)
+    # strong uniform E field pointing +x everywhere -> cathode at low-x
+    # surface of the region emits electrons
+    sim.set_region_field(lambda x, y, z: True, ex=0.5)
+    region = lambda x, y, z: x > 0.5   # emit from the x=0.5 surface
+    sim.define_surface_emitter(E.child_langmuir, region, spc,
+                               n_emit_per_face=2, ut_para=0.02,
+                               ut_perp=0.01, thresh_e_norm=1e-6)
+    state = sim.initialize()
+    step = jax.jit(sim.make_advance())
+    assert int(state.species[0].np) == 0
+    state = step(state)
+    n1 = int(state.species[0].np)
+    assert n1 > 0                    # emission happened
+    state = step(state)
+    assert int(state.species[0].np) > n1   # and continues
+    # emitted charge bookkeeping: rhob got -q contributions
+    assert float(jnp.sum(state.fields.rhob)) > 0.0
+    en = np.asarray(sim.energies(state))
+    assert np.isfinite(en).all()

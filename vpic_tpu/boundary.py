@@ -176,41 +176,48 @@ def _migrate_round(sp: SpeciesState, pend, disp, acc, rhob, g: Grid,
 def boundary_p(species: Sequence[SpeciesState], sp_params, pends, disps,
                acc, rhob, g: Grid, num_comm_round: int = 3,
                mig_frac: float = 0.125, max_streak: int = 4,
-               custom_handlers: Optional[Dict[int, Callable]] = None):
+               custom_handlers: Optional[Dict[int, Callable]] = None,
+               key=None):
     """Process parked particles for every species: custom-BC dispatch,
     ``num_comm_round`` migration rounds, then leftover drop (+rhob).
 
-    custom_handlers maps face index -> handler(sp, pend, disp, acc, rhob,
-    g, qsp, rng-less) for ids <= -3 BCs (filled in by vpic_tpu.boundary_ops).
-    Returns (species, acc, rhob, n_dropped_total).
+    custom_handlers maps face index -> handler with signature
+      handler(key, sp, pend, disp, acc, rhob, g, spp, face)
+        -> (sp, pend, disp, acc, rhob)
+    (the particle_bc_t interact dispatch, boundary_p.cc:250-255); handlers
+    consume lanes with pend == CUSTOM_BASE + face and run their own
+    streak-walk continuation.  Returns (species, acc, rhob, n_dropped).
     """
     species = list(species)
     pends = list(pends)
     disps = list(disps)
     n_dropped = jnp.int32(0)
     custom_handlers = custom_handlers or {}
+    if key is None:
+        key = jax.random.PRNGKey(0)
+
+    def run_handlers(key, sp, pend, disp, acc, rhob, spp):
+        for face, handler in custom_handlers.items():
+            key, sub = jax.random.split(key)
+            sp, pend, disp, acc, rhob = handler(
+                sub, sp, pend, disp, acc, rhob, g, spp, face)
+        return key, sp, pend, disp, acc, rhob
 
     for k, spp in enumerate(sp_params):
         sp, pend, disp = species[k], pends[k], disps[k]
         mig_cap = max(64, int(sp.capacity * mig_frac))
 
         # Custom particle BCs first (boundary_p.cc:250-255 dispatch).
-        for face, handler in custom_handlers.items():
-            mask = pend == CUSTOM_BASE + face
-            sp, disp, acc, rhob, handled = handler(
-                sp, mask, disp, acc, rhob, g, spp, face)
-            pend = jnp.where(mask & handled, DONE, pend)
+        key, sp, pend, disp, acc, rhob = run_handlers(
+            key, sp, pend, disp, acc, rhob, spp)
 
         for _ in range(num_comm_round):
             sp, pend, disp, acc, rhob, n_dropped = _migrate_round(
                 sp, pend, disp, acc, rhob, g, spp.q, mig_cap, max_streak,
                 n_dropped)
             # Handlers may need to run again for multi-hop arrivals.
-            for face, handler in custom_handlers.items():
-                mask = pend == CUSTOM_BASE + face
-                sp, disp, acc, rhob, handled = handler(
-                    sp, mask, disp, acc, rhob, g, spp, face)
-                pend = jnp.where(mask & handled, DONE, pend)
+            key, sp, pend, disp, acc, rhob = run_handlers(
+                key, sp, pend, disp, acc, rhob, spp)
 
         # Leftover pends: drop with charge -> rhob (advance.cc:78-101).
         leftover = (pend >= 0) & (pend != DONE) & sp.live & \

@@ -153,8 +153,25 @@ class Simulation:
     def set_domain_field_bc(self, face: int, bc: int):
         self.grid = self.grid.with_bc(face, fbc=bc)
 
-    def set_domain_particle_bc(self, face: int, bc: int):
+    def set_domain_particle_bc(self, face: int, bc):
+        """bc: a built-in code (reflect/absorb/...) or a custom handler
+        built by vpic_tpu.boundary_ops (maxwellian_reflux, absorb_tally...)
+        -- the define/set particle-BC vocabulary (vpic.h:510-530)."""
+        if callable(bc):
+            self.pbc_handlers[face] = bc
+            from .grid import FIRST_CUSTOM_PBC
+            bc = FIRST_CUSTOM_PBC - len(self.pbc_handlers) + 1
         self.grid = self.grid.with_bc(face, pbc=bc)
+
+    def define_surface_emitter(self, emitter_factory, region, sp: SpeciesParams,
+                               **kw):
+        """define_surface_emitter (deck/wrapper.h:310-383): scan the region's
+        surface into a static component list and register the emission op."""
+        from . import emitter as E
+        comps = E.surface_components(self.grid, region)
+        op = emitter_factory(sp.id, sp, comps, **kw)
+        self.emitters.append(op)
+        return op
 
     # ---------------- materials / field array ----------------
 
@@ -505,23 +522,26 @@ class Simulation:
                 pends.append(res.pend_face)
                 disps.append(res.pend_disp)
 
+            # --- emission / user injection (advance.cc:58-60) ---
+            for em in emitters:
+                species, acc, rhob, rng = em(species, f, fcoef, acc, rhob,
+                                             g, step, rng)
+            if u_pinject is not None:
+                species, acc, rhob, rng = u_pinject(species, f, fcoef, acc,
+                                                    rhob, g, step, rng)
+
             # --- boundary interaction + cross-shard migration
             #     (boundary_p x num_comm_round, advance.cc:73-101) ---
             needs_boundary = (g.sharded or self.pbc_handlers or
                               any(bc <= -3 for bc in g.particle_bc))
             if needs_boundary:
+                rng, bkey = jax.random.split(jax.random.fold_in(rng, step))
                 species, acc, rhob, _ = B.boundary_p(
                     species, sp_params, pends, disps, acc, rhob, g,
                     num_comm_round=self.num_comm_round,
                     max_streak=self.max_streak,
-                    custom_handlers=self.pbc_handlers)
+                    custom_handlers=self.pbc_handlers, key=bkey)
             f = f.replace(rhob=rhob.reshape(g.shape))
-
-            # --- emission / user injection (advance.cc:58-60) ---
-            for em in emitters:
-                species, f, acc, rng = em(species, f, acc, g, step, rng)
-            if u_pinject is not None:
-                species, f, acc, rng = u_pinject(species, f, acc, g, step, rng)
 
             # --- accumulator -> jf, shared-face sum ---
             f = F.clear_jf(f)

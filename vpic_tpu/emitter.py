@@ -1,0 +1,160 @@
+"""Emission models (src/emitter/).
+
+The reference builds per-emitter component lists (32*cell + face encodings,
+emitter.h:16-29) once at init by scanning deck region predicates
+(deck/wrapper.h:310-383) and applies each emitter every step after the push
+(advance.cc:58-60).  Here the component list is a pair of static device
+arrays (voxel, face) built host-side; emission is a fixed-shape masked
+injection: every component emits ``n_emit_per_face`` candidate lanes whose
+weights are zeroed when the face is below threshold.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Callable
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .boundary import compact
+from .grid import FACE_AXIS, FACE_SIDE, Grid
+from .ops.push import DONE, deposit_rhob, streak_walk
+from .state import SpeciesParams, SpeciesState
+
+CHILD_LANGMUIR_NORM = 4.0 * math.sqrt(2.0) / 9.0  # Child law prefactor
+
+
+def surface_components(g: Grid, region: Callable, shard=(0, 0, 0)):
+    """Scan the region predicate over cell centers and return the (voxel,
+    face) components of its surface: faces of inside-cells whose neighbor
+    is outside or beyond the domain (define_surface_emitter semantics)."""
+    x0 = g.x0 + shard[0] * g.nx * g.dx
+    y0 = g.y0 + shard[1] * g.ny * g.dy
+    z0 = g.z0 + shard[2] * g.nz * g.dz
+    xc = x0 + g.dx * (np.arange(g.NX) - 0.5)
+    yc = y0 + g.dy * (np.arange(g.NY) - 0.5)
+    zc = z0 + g.dz * (np.arange(g.NZ) - 0.5)
+    Z, Y, X = np.meshgrid(zc, yc, xc, indexing="ij")
+    inside = np.vectorize(region, otypes=[bool])(X, Y, Z)
+    inside[0, :, :] = inside[-1, :, :] = False
+    inside[:, 0, :] = inside[:, -1, :] = False
+    inside[:, :, 0] = inside[:, :, -1] = False
+
+    vox, faces = [], []
+    offs = {0: (0, 0, -1), 1: (0, -1, 0), 2: (-1, 0, 0),
+            3: (0, 0, 1), 4: (0, 1, 0), 5: (1, 0, 0)}  # [dz,dy,dx] per face
+    idx = np.argwhere(inside)
+    for (z, y, x) in idx:
+        for f, (dz, dy, dx) in offs.items():
+            if not inside[z + dz, y + dy, x + dx]:
+                vox.append(int(x + g.NX * (y + g.NY * z)))
+                faces.append(f)
+    return (np.asarray(vox, np.int32), np.asarray(faces, np.int32))
+
+
+def child_langmuir(sp_idx: int, spp: SpeciesParams, components,
+                   n_emit_per_face: int = 1, ut_para: float = 0.0,
+                   ut_perp: float = 0.0, thresh_e_norm: float = 0.0,
+                   norm: float = CHILD_LANGMUIR_NORM, max_streak: int = 4):
+    """child_langmuir (child_langmuir.c:8-211): space-charge-limited (Child
+    law) surface emission.  Per eligible face, emit n_emit_per_face macro
+    particles with weight w = norm_axis sqrt(|E_n|^3), half-Maxwellian
+    parallel momentum, random subcell position, random age (partial push
+    through the streak walk), and -q rhob bookkeeping."""
+    vox_np, face_np = components
+    nc = len(vox_np)
+    if nc == 0:
+        return lambda species, f, fcoef, acc, rhob, g, step, rng: \
+            (species, acc, rhob, rng)
+    vox_c = jnp.asarray(np.repeat(vox_np, n_emit_per_face))
+    face_c = jnp.asarray(np.repeat(face_np, n_emit_per_face))
+    M = nc * n_emit_per_face
+    e_col = jnp.asarray(np.array([0, 4, 8], np.int32))  # ex, ey, ez coeff col
+
+    def op(species, f, fcoef, acc, rhob, g: Grid, step, rng):
+        species = list(species)
+        sp = species[sp_idx]
+        key = jax.random.fold_in(rng, step)
+        k1, k2, k3, k4, k5, k6, rng2 = jax.random.split(key, 7)
+
+        axis = FACE_AXIS_ARR[face_c]
+        side = jnp.asarray(FACE_SIDE, jnp.int32)[face_c]
+        # Emission direction: inward normal (low faces emit +, high faces -).
+        dirn = jnp.where(side < 0, 1.0, -1.0)
+        e_n = fcoef[vox_c, e_col[axis]]
+        eligible = dirn * spp.q * e_n > abs(spp.q) * thresh_e_norm
+
+        qsp = spp.q
+        pref = (norm * g.eps0 * g.dt) / (math.sqrt(abs(qsp * spp.m))
+                                         * n_emit_per_face)
+        norm_ax = jnp.asarray([
+            pref * math.sqrt(g.rdx) * g.dy * g.dz,
+            pref * math.sqrt(g.rdy) * g.dz * g.dx,
+            pref * math.sqrt(g.rdz) * g.dx * g.dy], jnp.float32)[axis]
+        w = jnp.where(eligible,
+                      norm_ax * jnp.sqrt(jnp.abs(e_n) ** 3), 0.0)
+
+        # Momenta: half-Maxwellian parallel + thermal perpendicular.
+        u_par = dirn * ut_para * jnp.sqrt(
+            2.0 * -jnp.log(jnp.maximum(jax.random.uniform(k1, (M,)), 1e-37)))
+        u_p1 = ut_perp * jax.random.normal(k2, (M,))
+        u_p2 = ut_perp * jax.random.normal(k3, (M,))
+        uxyz = [None, None, None]
+        for a in range(3):
+            uxyz[a] = jnp.where(axis == a, u_par,
+                                jnp.where((axis + 1) % 3 == a, u_p1, u_p2))
+
+        # Positions: on the emitting face, random transverse offsets.
+        r1 = 2.0 * jax.random.uniform(k4, (M,)) - 1.0
+        r2 = 2.0 * jax.random.uniform(k5, (M,)) - 1.0
+        pxyz = [None, None, None]
+        for a in range(3):
+            pxyz[a] = jnp.where(axis == a, -dirn,
+                                jnp.where((axis + 1) % 3 == a, r1, r2))
+
+        # Insert into free slots after compaction.
+        (sp,) = compact(sp)
+        rank = jnp.cumsum(eligible.astype(jnp.int32)) - 1
+        slot = jnp.where(eligible, sp.np + rank, sp.capacity)
+        n_new = jnp.minimum(jnp.sum(eligible.astype(jnp.int32)),
+                            sp.capacity - sp.np)
+
+        ins = lambda a, v: a.at[slot].set(v, mode="drop")
+        live = ins(sp.live, eligible)
+        sp = sp.replace(dx=ins(sp.dx, pxyz[0]), dy=ins(sp.dy, pxyz[1]),
+                        dz=ins(sp.dz, pxyz[2]), i=ins(sp.i, vox_c),
+                        ux=ins(sp.ux, uxyz[0]), uy=ins(sp.uy, uxyz[1]),
+                        uz=ins(sp.uz, uxyz[2]), w=ins(sp.w, w),
+                        live=live, np=sp.np + n_new)
+        rhob = deposit_rhob(rhob, g, sp.i, sp.dx, sp.dy, sp.dz, sp.w,
+                            -qsp, ins(jnp.zeros((sp.capacity,), bool),
+                                      eligible))
+
+        # Random age: partial push of the new particles (streak walk).
+        gam = jnp.sqrt(1.0 + uxyz[0] ** 2 + uxyz[1] ** 2 + uxyz[2] ** 2)
+        age = jax.random.uniform(k6, (M,)) * g.cvac * g.dt / gam
+        dnew = [uxyz[a] * age * (g.rdx, g.rdy, g.rdz)[a] for a in range(3)]
+        zeros = jnp.zeros((sp.capacity,), jnp.float32)
+        disp = tuple(ins(zeros, dnew[a]) for a in range(3))
+        newmask = ins(jnp.zeros((sp.capacity,), bool), eligible)
+        pend = jnp.full((sp.capacity,), DONE, jnp.int32)
+        zi, r = jnp.divmod(sp.i, g.sz)
+        yi, xi = jnp.divmod(r, g.sy)
+        (pos, disp, coords, u, alive, pend, acc, rhob) = streak_walk(
+            g, qsp, sp.w, (sp.dx, sp.dy, sp.dz), disp, (xi, yi, zi),
+            (sp.ux, sp.uy, sp.uz), newmask & sp.live, sp.live, pend, acc,
+            rhob, max_streak)
+        vox2 = coords[0] + g.NX * (coords[1] + g.NY * coords[2])
+        sp = sp.replace(dx=pos[0], dy=pos[1], dz=pos[2], i=vox2,
+                        ux=u[0], uy=u[1], uz=u[2],
+                        w=jnp.where(alive, sp.w, 0.0), live=alive,
+                        np=jnp.sum(alive.astype(jnp.int32)))
+        species[sp_idx] = sp
+        return species, acc, rhob, rng2
+
+    return op
+
+
+FACE_AXIS_ARR = jnp.asarray(FACE_AXIS, jnp.int32)
