@@ -198,38 +198,129 @@ class Simulation:
     def define_field_array(self, _kernels=None, damp: float = 0.0):
         self.damp = float(damp)
         self._field_ops = []
+        # Material-id meshes at the 8 stagger classes (field_t material
+        # members, field_advance.h:152-160), filled by set_region_material.
+        g = self.grid
+        self._mat_ids = {k: np.zeros(g.shape, np.int16)
+                         for k in ("ematx", "ematy", "ematz", "nmat",
+                                   "fmatx", "fmaty", "fmatz", "cmat")}
+        self._multi_material = False
+
+    def set_region_material(self, region, volume_mat, surface_mat=None):
+        """set_region_material (deck/wrapper.h:211-253): assign the volume
+        material to every stagger location fully inside the region and the
+        surface material to locations partially inside."""
+        if isinstance(volume_mat, str):
+            volume_mat = self.lookup_material(volume_mat)
+        if isinstance(surface_mat, str):
+            surface_mat = self.lookup_material(surface_mat)
+        if surface_mat is None:
+            surface_mat = volume_mat
+        g = self.grid
+        if g.sharded:
+            raise NotImplementedError(
+                "material regions on a sharded grid: materialize per shard "
+                "(planned); decompose after assigning materials for now")
+        self._multi_material = True
+        xc = g.x0 + g.dx * (np.arange(g.NX) - 0.5)
+        yc = g.y0 + g.dy * (np.arange(g.NY) - 0.5)
+        zc = g.z0 + g.dz * (np.arange(g.NZ) - 0.5)
+        Z, Y, X = np.meshgrid(zc, yc, xc, indexing="ij")
+        inside = np.vectorize(region, otypes=[bool])(X, Y, Z)
+
+        def sh(dz, dy, dx):
+            """inside(cell shifted -d), i.e. out[v] = inside[v - d];
+            False beyond the array edge.  Offsets are 0 or 1."""
+            NZ, NY, NX = inside.shape
+            out = np.zeros_like(inside)
+            out[dz:, dy:, dx:] = inside[:NZ - dz, :NY - dy, :NX - dx]
+            return out
+
+        ccc = inside
+        lcc = sh(0, 0, 1)   # cell (i-1, j, k) relative to voxel i
+        clc = sh(0, 1, 0)
+        llc = sh(0, 1, 1)
+        ccl = sh(1, 0, 0)
+        lcl = sh(1, 0, 1)
+        cll = sh(1, 1, 0)
+        lll = sh(1, 1, 1)
+
+        combos = dict(
+            ematx=(ccc, clc, ccl, cll), ematy=(ccc, ccl, lcc, lcl),
+            ematz=(ccc, lcc, clc, llc), fmatx=(ccc, lcc),
+            fmaty=(ccc, clc), fmatz=(ccc, ccl),
+            nmat=(ccc, lcc, clc, llc, ccl, lcl, cll, lll))
+        for name, cells in combos.items():
+            any_in = np.logical_or.reduce(cells)
+            all_in = np.logical_and.reduce(cells)
+            ids = self._mat_ids[name]
+            ids[any_in] = surface_mat.id
+            ids[all_in] = volume_mat.id
+        self._mat_ids["cmat"][ccc] = volume_mat.id
+
+    def _axis_coeffs(self, sigma, eps):
+        """Exponential differencing coefficients (sfa.c:115-133)."""
+        g = self.grid
+        ax = (sigma * g.dt) / (eps * g.eps0)
+        decay = math.exp(-ax)
+        if ax == 0:
+            drive = 1.0 / eps
+        elif decay == 0:
+            drive = 0.0
+        else:
+            drive = 2.0 * math.exp(-0.5 * ax) * math.sinh(0.5 * ax) / (ax * eps)
+        return decay, drive
 
     def _material_coeffs(self) -> MaterialCoeffs:
-        """create_sfa_params (sfa.c:55-151) for the uniform-material case;
-        region-assigned multi-material meshes expand per-voxel (see
-        set_region_material)."""
+        """create_sfa_params (sfa.c:55-151).  Single material -> 0-d scalar
+        coefficients (the vacuum fast-kernel analogue, sfa.c:202-211);
+        region-assigned multi-material meshes pre-expand the per-material
+        tables onto the stagger-matched id meshes (gather-free stencils,
+        the TPU-idiomatic memory/bandwidth tradeoff)."""
         if not self.materials:
             raise RuntimeError("no materials defined")
-        m = self.materials[0]
-        g = self.grid
+        if not getattr(self, "_multi_material", False):
+            m = self.materials[0]
+            dx_, vx = self._axis_coeffs(m.sigmax, m.epsx)
+            dy_, vy = self._axis_coeffs(m.sigmay, m.epsy)
+            dz_, vz = self._axis_coeffs(m.sigmaz, m.epsz)
+            noncond = 1.0 if (m.sigmax == 0 and m.sigmay == 0
+                              and m.sigmaz == 0) else 0.0
+            fl = lambda v: jnp.float32(v)
+            return MaterialCoeffs(
+                decayx=fl(dx_), decayy=fl(dy_), decayz=fl(dz_),
+                drivex=fl(vx), drivey=fl(vy), drivez=fl(vz),
+                rmux=fl(1.0 / m.mux), rmuy=fl(1.0 / m.muy),
+                rmuz=fl(1.0 / m.muz), nonconductive=fl(noncond),
+                epsx=fl(m.epsx), epsy=fl(m.epsy), epsz=fl(m.epsz))
 
-        def axis_coeffs(sigma, eps):
-            ax = (sigma * g.dt) / (eps * g.eps0)
-            decay = math.exp(-ax)
-            if ax == 0:
-                drive = 1.0 / eps
-            elif decay == 0:
-                drive = 0.0
-            else:
-                drive = 2.0 * math.exp(-0.5 * ax) * math.sinh(0.5 * ax) / (ax * eps)
-            return decay, drive
-
-        dx_, vx = axis_coeffs(m.sigmax, m.epsx)
-        dy_, vy = axis_coeffs(m.sigmay, m.epsy)
-        dz_, vz = axis_coeffs(m.sigmaz, m.epsz)
-        noncond = 1.0 if (m.sigmax == 0 and m.sigmay == 0 and m.sigmaz == 0) else 0.0
-        fl = lambda v: jnp.float32(v)
+        nm = len(self.materials)
+        decay = np.zeros((nm, 3), np.float32)
+        drive = np.zeros((nm, 3), np.float32)
+        rmu = np.zeros((nm, 3), np.float32)
+        noncond = np.zeros((nm,), np.float32)
+        eps = np.zeros((nm, 3), np.float32)
+        for m in self.materials:
+            for a, (sg, ep) in enumerate(((m.sigmax, m.epsx),
+                                          (m.sigmay, m.epsy),
+                                          (m.sigmaz, m.epsz))):
+                decay[m.id, a], drive[m.id, a] = self._axis_coeffs(sg, ep)
+            rmu[m.id] = (1.0 / m.mux, 1.0 / m.muy, 1.0 / m.muz)
+            eps[m.id] = (m.epsx, m.epsy, m.epsz)
+            noncond[m.id] = 1.0 if (m.sigmax == 0 and m.sigmay == 0
+                                    and m.sigmaz == 0) else 0.0
+        ids = self._mat_ids
+        j = jnp.asarray
         return MaterialCoeffs(
-            decayx=fl(dx_), decayy=fl(dy_), decayz=fl(dz_),
-            drivex=fl(vx), drivey=fl(vy), drivez=fl(vz),
-            rmux=fl(1.0 / m.mux), rmuy=fl(1.0 / m.muy), rmuz=fl(1.0 / m.muz),
-            nonconductive=fl(noncond),
-            epsx=fl(m.epsx), epsy=fl(m.epsy), epsz=fl(m.epsz))
+            decayx=j(decay[ids["ematx"], 0]), decayy=j(decay[ids["ematy"], 1]),
+            decayz=j(decay[ids["ematz"], 2]),
+            drivex=j(drive[ids["ematx"], 0]), drivey=j(drive[ids["ematy"], 1]),
+            drivez=j(drive[ids["ematz"], 2]),
+            rmux=j(rmu[ids["fmatx"], 0]), rmuy=j(rmu[ids["fmaty"], 1]),
+            rmuz=j(rmu[ids["fmatz"], 2]),
+            nonconductive=j(noncond[ids["nmat"]]),
+            epsx=j(eps[ids["ematx"], 0]), epsy=j(eps[ids["ematy"], 1]),
+            epsz=j(eps[ids["ematz"], 2]))
 
     # ---------------- species / particles ----------------
 
