@@ -1,0 +1,77 @@
+"""Fused Pallas push path: exact agreement with the general XLA path
+(interpreter mode on CPU), across sort-staleness intervals."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from vpic_tpu.models import harris
+from vpic_tpu.ops import interp as I
+from vpic_tpu.ops import pallas_push as PP
+from vpic_tpu.ops import push as P
+
+
+@pytest.fixture(scope="module")
+def setup():
+    p = harris.HarrisParams(nx=16, ny=16, nppc=4, Lx=8.0, Ly=8.0)
+    sim = harris.build(p)
+    state = sim.initialize()
+    return sim, state
+
+
+def test_supports(setup):
+    sim, state = setup
+    assert PP.supports(sim.grid)
+
+
+def test_bucket_sort_groups(setup):
+    sim, state = setup
+    g = sim.grid
+    sp = PP.bucket_sort_p(state.species[0], g)
+    live = np.asarray(sp.live)
+    buckets = np.asarray(sp.i)[live] // PP.BUCKET
+    assert (np.diff(buckets) >= 0).all()
+    assert int(np.asarray(sp.live).sum()) == int(state.species[0].np)
+
+
+def test_single_push_matches_xla(setup):
+    sim, state = setup
+    g = sim.grid
+    sp = P.sort_p(state.species[1])
+    fcoef = I.load_interpolator(state.fields, g)
+    acc0 = jnp.zeros((g.nv, 12), jnp.float32)
+    rhob0 = jnp.zeros(g.nv, jnp.float32)
+    res_ref = P.advance_p(sp, fcoef, g, -1.0, 1.0, acc0, rhob0)
+    res_fus = PP.advance_p_fused(sp, fcoef, g, -1.0, 1.0, acc0, rhob0)
+    live = np.asarray(sp.live)
+    for name in ("dx", "dy", "dz", "ux", "uy", "uz"):
+        a = np.asarray(getattr(res_ref.species, name))[live]
+        b = np.asarray(getattr(res_fus.species, name))[live]
+        np.testing.assert_allclose(a, b, atol=3e-7)
+    np.testing.assert_array_equal(np.asarray(res_ref.species.i)[live],
+                                  np.asarray(res_fus.species.i)[live])
+    da, db = np.asarray(res_ref.acc), np.asarray(res_fus.acc)
+    assert np.abs(da - db).max() < 1e-6 * max(np.abs(da).max(), 1e-3)
+
+
+@pytest.mark.parametrize("K", [1, 4])
+def test_multistep_deck_matches_xla(K):
+    p = harris.HarrisParams(nx=16, ny=16, nppc=4, Lx=8.0, Ly=8.0)
+    sim1 = harris.build(p)
+    sim1.use_pallas = False
+    sim2 = harris.build(p)
+    sim2.use_pallas = True
+    sim2.pallas_sort_interval = K
+    s1, s2 = sim1.initialize(), sim2.initialize()
+    st1 = jax.jit(sim1.make_advance())
+    st2 = jax.jit(sim2.make_advance())
+    for _ in range(10):
+        s1, s2 = st1(s1), st2(s2)
+    for n in ("jfx", "ex", "ey", "cbz"):
+        a = np.asarray(getattr(s1.fields, n))
+        b = np.asarray(getattr(s2.fields, n))
+        assert np.abs(a - b).max() < 5e-7 + 1e-5 * np.abs(a).max()
+    e1 = np.asarray(sim1.energies(s1))
+    e2 = np.asarray(sim2.energies(s2))
+    assert np.abs(e1 - e2).max() / e1.sum() < 1e-6

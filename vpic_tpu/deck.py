@@ -82,6 +82,11 @@ class Simulation:
         self.num_div_b_round = 2
         self.num_comm_round = 3
         self.max_streak = 4
+        # Fused Pallas hot path: "auto" enables it on supported decks
+        # (single shard, nz == 1, periodic/reflect particle BCs only,
+        # no runtime injection); sort staleness bounded by the window.
+        self.use_pallas = "auto"
+        self.pallas_sort_interval = 3
         # User hooks (deck sections): callables state -> state pieces.
         self.user_field_injection = None      # (FieldState, step) -> FieldState
         self.user_current_injection = None    # (FieldState, step) -> FieldState
@@ -580,6 +585,12 @@ class Simulation:
         u_pinject = self.user_particle_injection
         u_collide = self.user_particle_collisions
 
+        from .ops import pallas_push as PP
+        use_fused = (PP.supports(g) and not self.emitters
+                     and self.user_particle_injection is None
+                     if self.use_pallas == "auto" else bool(self.use_pallas))
+        sortK = max(1, self.pallas_sort_interval)
+
         def advance(state: SimState) -> SimState:
             f = state.fields
             species = list(state.species)
@@ -587,11 +598,12 @@ class Simulation:
             rng = state.rng
 
             # --- sort (performance + collision partition) ---
-            for k, spp in enumerate(sp_params):
-                if spp.sort_interval > 0:
-                    species[k] = jax.lax.cond(
-                        step % spp.sort_interval == 0,
-                        P.sort_p, lambda s: s, species[k])
+            if not use_fused:
+                for k, spp in enumerate(sp_params):
+                    if spp.sort_interval > 0:
+                        species[k] = jax.lax.cond(
+                            step % spp.sort_interval == 0,
+                            P.sort_p, lambda s: s, species[k])
 
             # --- collisions (before push; advance.cc:45-47) ---
             for op in collision_ops:
@@ -599,45 +611,76 @@ class Simulation:
             if u_collide is not None:
                 species, rng = u_collide(species, f, g, step, rng)
 
-            # --- particle push + current deposition ---
-            fcoef = I.load_interpolator(f, g)
-            acc = jnp.zeros((g.nv, 12), jnp.float32)
             rhob = f.rhob.reshape(-1)
-            pends, disps = [], []
-            for k, spp in enumerate(sp_params):
-                res = P.advance_p(species[k], fcoef, g, spp.q, spp.m,
-                                  acc, rhob, max_streak=self.max_streak)
-                species[k] = res.species
-                acc = res.acc
-                rhob = res.rhob_flat
-                pends.append(res.pend_face)
-                disps.append(res.pend_disp)
 
-            # --- emission / user injection (advance.cc:58-60) ---
-            for em in emitters:
-                species, acc, rhob, rng = em(species, f, fcoef, acc, rhob,
-                                             g, step, rng)
-            if u_pinject is not None:
-                species, acc, rhob, rng = u_pinject(species, f, fcoef, acc,
-                                                    rhob, g, step, rng)
+            if use_fused:
+                # Fused Pallas hot path: one kernel per species fusing
+                # gather + Boris + streak walk + MXU one-hot deposition.
+                nvp = PP._round_up(g.nv, 128)
+                fcoef_T = I.load_interpolator_T(f, g, nvp)
+                acc_T = jnp.zeros((12, nvp), jnp.float32)
+                acc_small = jnp.zeros((g.nv, 12), jnp.float32)
+                for k, spp in enumerate(sp_params):
+                    sp = jax.lax.cond(
+                        step % sortK == 0,
+                        lambda s: PP.bucket_sort_p(
+                            PP.remap_ghost_voxels(s, g), g),
+                        lambda s: s, species[k])
+                    sp, acc_T, oflag, odp, _ = PP.fused_push(
+                        sp, fcoef_T, acc_T, g, spp.q, spp.m,
+                        max_streak=self.max_streak)
+                    # outlier lanes are rare; skip the pass when none exist
+                    sp, acc_small, rhob = jax.lax.cond(
+                        jnp.any(oflag > 0),
+                        lambda a: PP.outlier_pass(
+                            a[0], a[1], a[4], fcoef_T, g, spp.q, spp.m,
+                            a[2], a[3], self.max_streak),
+                        lambda a: (a[0], a[2], a[3]),
+                        (sp, oflag, acc_small, rhob, odp))
+                    species[k] = sp
+                acc_T = PP.fold_ghost_acc_T(acc_T, g)
+                f = F.clear_jf(f)
+                f = I.unload_accumulator_T(f, acc_T, g, extra=acc_small)
+                f = F.synchronize_jf(f, g)
+            else:
+                # --- particle push + current deposition (XLA path) ---
+                fcoef = I.load_interpolator(f, g)
+                acc = jnp.zeros((g.nv, 12), jnp.float32)
+                pends, disps = [], []
+                for k, spp in enumerate(sp_params):
+                    res = P.advance_p(species[k], fcoef, g, spp.q, spp.m,
+                                      acc, rhob, max_streak=self.max_streak)
+                    species[k] = res.species
+                    acc = res.acc
+                    rhob = res.rhob_flat
+                    pends.append(res.pend_face)
+                    disps.append(res.pend_disp)
 
-            # --- boundary interaction + cross-shard migration
-            #     (boundary_p x num_comm_round, advance.cc:73-101) ---
-            needs_boundary = (g.sharded or self.pbc_handlers or
-                              any(bc <= -3 for bc in g.particle_bc))
-            if needs_boundary:
-                rng, bkey = jax.random.split(jax.random.fold_in(rng, step))
-                species, acc, rhob, _ = B.boundary_p(
-                    species, sp_params, pends, disps, acc, rhob, g,
-                    num_comm_round=self.num_comm_round,
-                    max_streak=self.max_streak,
-                    custom_handlers=self.pbc_handlers, key=bkey)
+                # --- emission / user injection (advance.cc:58-60) ---
+                for em in emitters:
+                    species, acc, rhob, rng = em(species, f, fcoef, acc,
+                                                 rhob, g, step, rng)
+                if u_pinject is not None:
+                    species, acc, rhob, rng = u_pinject(
+                        species, f, fcoef, acc, rhob, g, step, rng)
+
+                # --- boundary interaction + cross-shard migration
+                #     (boundary_p x num_comm_round, advance.cc:73-101) ---
+                needs_boundary = (g.sharded or self.pbc_handlers or
+                                  any(bc <= -3 for bc in g.particle_bc))
+                if needs_boundary:
+                    rng, bkey = jax.random.split(
+                        jax.random.fold_in(rng, step))
+                    species, acc, rhob, _ = B.boundary_p(
+                        species, sp_params, pends, disps, acc, rhob, g,
+                        num_comm_round=self.num_comm_round,
+                        max_streak=self.max_streak,
+                        custom_handlers=self.pbc_handlers, key=bkey)
+
+                f = F.clear_jf(f)
+                f = I.unload_accumulator(f, acc, g)
+                f = F.synchronize_jf(f, g)
             f = f.replace(rhob=rhob.reshape(g.shape))
-
-            # --- accumulator -> jf, shared-face sum ---
-            f = F.clear_jf(f)
-            f = I.unload_accumulator(f, acc, g)
-            f = F.synchronize_jf(f, g)
 
             if u_current is not None:
                 f = u_current(f, step)
@@ -654,7 +697,9 @@ class Simulation:
                 f = F.clear_rhof(f)
                 rhof = f.rhof.reshape(-1)
                 for k, spp in enumerate(sp_params):
-                    rhof = P.accumulate_rho_p(rhof, species[k], g, spp.q)
+                    spk = (PP.remap_ghost_voxels(species[k], g)
+                           if use_fused else species[k])
+                    rhof = P.accumulate_rho_p(rhof, spk, g, spp.q)
                 f = f.replace(rhof=rhof.reshape(g.shape))
                 f = F.synchronize_rho(f, g)
                 for _ in range(self.num_div_e_round):
@@ -702,6 +747,10 @@ class Simulation:
         g = self.grid
         m = self._material_coeffs()
         en_f = F.all_sum(F.energy_f(f, g, m), g)
+        if not g.sharded:
+            # fused-path states may hold particles in periodic ghost cells
+            from .ops.pallas_push import remap_ghost_voxels
+            species = [remap_ghost_voxels(sp, g) for sp in species]
         fcoef = I.load_interpolator(f, g)
         en_p = [F.all_sum(P.energy_p(sp, fcoef, g, st.params.q, st.params.m),
                           g)

@@ -84,6 +84,94 @@ def load_interpolator(f: FieldState, g: Grid):
     return coeffs.reshape(g.nv, 18)
 
 
+def load_interpolator_T(f: FieldState, g: Grid, nvp: int):
+    """Transposed-layout coefficient table (18, nvp) for the fused Pallas
+    push: voxel index on the TPU lane dimension; built directly (component-
+    major stack of flattened planes) so no on-device transpose is needed."""
+    full = jnp.zeros((18, g.NZ, g.NY, g.NX), jnp.float32)
+    t = _sl3(INT, INT, INT)
+
+    def quads(a, ax1, ax2):
+        sl1 = [INT, INT, INT]
+        sl1[2 - ax1] = HI
+        sl2 = [INT, INT, INT]
+        sl2[2 - ax2] = HI
+        sl3_ = [INT, INT, INT]
+        sl3_[2 - ax1] = HI
+        sl3_[2 - ax2] = HI
+        w0, w1 = a[t], a[tuple(sl1)]
+        w2, w3 = a[tuple(sl2)], a[tuple(sl3_)]
+        return (FOURTH * ((w3 + w0) + (w1 + w2)),
+                FOURTH * ((w3 - w0) + (w1 - w2)),
+                FOURTH * ((w3 - w0) - (w1 - w2)),
+                FOURTH * ((w3 + w0) - (w1 + w2)))
+
+    def lin(a, ax):
+        sl1 = [INT, INT, INT]
+        sl1[2 - ax] = HI
+        w0, w1 = a[t], a[tuple(sl1)]
+        return HALF * (w1 + w0), HALF * (w1 - w0)
+
+    comps = (*quads(f.ex, 1, 2), *quads(f.ey, 2, 0), *quads(f.ez, 0, 1),
+             *lin(f.cbx, 0), *lin(f.cby, 1), *lin(f.cbz, 2))
+    for c, val in enumerate(comps):
+        full = full.at[c, INT, INT, INT].set(val)
+    # Fill periodic ghost columns with their partner's coefficients so the
+    # fused push can let particles *reside* in ghost cells between sorts
+    # (their deposits are folded back by fold_ghost_acc_T).
+    from ..grid import PERIODIC, P_PERIODIC
+    for ax, n_ax in ((0, g.nx), (1, g.ny), (2, g.nz)):
+        if g.axis_bc(ax, -1, particles=True) != P_PERIODIC:
+            continue
+        aa = 3 - ax
+        idx = [slice(None)] * 4
+        src = [slice(None)] * 4
+        idx[aa] = 0
+        src[aa] = n_ax
+        full = full.at[tuple(idx)].set(full[tuple(src)])
+        idx[aa] = n_ax + 1
+        src[aa] = 1
+        full = full.at[tuple(idx)].set(full[tuple(src)])
+    flat = full.reshape(18, g.nv)
+    return jnp.pad(flat, ((0, 0), (0, nvp - g.nv)))
+
+
+def unload_accumulator_T(f: FieldState, acc_T, g: Grid,
+                         extra=None) -> FieldState:
+    """unload_accumulator for the transposed (12, nvp) accumulator layout
+    (no transpose back needed); ``extra`` optionally adds a standard-layout
+    (nv, 12) accumulator (the fused path's outlier contributions)."""
+    a = acc_T[:, :g.nv].reshape(12, g.NZ, g.NY, g.NX)
+    e = extra.reshape(g.NZ, g.NY, g.NX, 12) if extra is not None else None
+    cx = 0.25 * g.rdy * g.rdz / g.dt
+    cy = 0.25 * g.rdz * g.rdx / g.dt
+    cz = 0.25 * g.rdx * g.rdy / g.dt
+    t = _sl3(INTH, INTH, INTH)
+
+    def fold(col0, c, ax1, ax2):
+        s0 = list(t)
+        s1 = list(t)
+        s1[2 - ax1] = LOH
+        s2 = list(t)
+        s2[2 - ax2] = LOH
+        s3 = list(t)
+        s3[2 - ax1] = LOH
+        s3[2 - ax2] = LOH
+        total = (a[(col0,) + tuple(s0)] + a[(col0 + 1,) + tuple(s1)]
+                 + a[(col0 + 2,) + tuple(s2)] + a[(col0 + 3,) + tuple(s3)])
+        if e is not None:
+            total = total + (e[tuple(s0) + (col0,)]
+                             + e[tuple(s1) + (col0 + 1,)]
+                             + e[tuple(s2) + (col0 + 2,)]
+                             + e[tuple(s3) + (col0 + 3,)])
+        return c * total
+
+    jfx = f.jfx.at[t].add(fold(0, cx, 1, 2))
+    jfy = f.jfy.at[t].add(fold(4, cy, 2, 0))
+    jfz = f.jfz.at[t].add(fold(8, cz, 0, 1))
+    return f.replace(jfx=jfx, jfy=jfy, jfz=jfz)
+
+
 def unload_accumulator(f: FieldState, acc, g: Grid) -> FieldState:
     """acc (nv, 12) quarter-face currents -> jf Yee-edge currents.
 

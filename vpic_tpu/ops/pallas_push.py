@@ -1,0 +1,544 @@
+"""Fused Pallas advance_p kernel: interpolate -> Boris -> streak-walk ->
+current deposition in ONE TPU kernel.
+
+This is the production hot path (SURVEY 7: "the make-or-break kernel").
+Design, replacing both the reference's SIMD pipelines and the XLA
+gather/scatter path in ops/push.py:
+
+* Particles are kept voxel-sorted (sort_p each step on this path), so each
+  P-particle block touches a narrow voxel window [w0, w0 + V).  The window
+  start per block is scalar-prefetched.
+* The interpolation table is stored transposed (18, nv) so the voxel axis
+  is the TPU lane dimension; the whole table lives in VMEM across the grid
+  (it is ~1 MB at production 2-D resolutions).
+* Field gather and current scatter both become MXU one-hot matmuls inside
+  the window: rows(18,P) = table[:, w0:w0+V] @ onehot(P,V)^T and
+  acc[:, w0:w0+V] += vals(12,P) @ onehot(P,V).  One-hot entries are exact
+  in f32 and the matmuls run at HIGHEST precision, so deposition is exactly
+  the ACCUMULATE_J arithmetic -- conflict-free by construction, which is
+  what the reference buys with per-thread accumulator replicas.
+* The 4-round streak walk runs on (P,) VPU vectors inside the kernel with
+  periodic / reflecting faces handled as masked lanes.
+
+Scope guard (falls back to ops/push.advance_p otherwise): single shard,
+nz == 1 (linear-index windows only work when crossings move the voxel by
++-1 or +-NX), no absorbing/custom particle BCs.
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..grid import P_PERIODIC, REFLECT_PARTICLES, Grid
+from ..state import SpeciesState
+from .push import BIG, ONE_THIRD, TWO_FIFTEENTHS, PushResult, sort_p
+
+DEF_BLOCK = 1024     # particles per kernel invocation (1-D f32 XLA tile)
+DEF_WINDOW = 1024    # voxel window (lanes); multiple of 128
+
+
+def supports(g: Grid) -> bool:
+    if g.sharded or g.nz != 1:
+        return False
+    for axis in range(3):
+        for side in (-1, 1):
+            if g.axis_bc(axis, side, particles=True) not in (
+                    P_PERIODIC, REFLECT_PARTICLES):
+                return False
+    return g.nv >= 256
+
+
+def _round_up(x, m):
+    return (x + m - 1) // m * m
+
+
+BUCKET = 128
+
+
+def bucket_sort_p(sp: SpeciesState, g: Grid, bucket: int = BUCKET):
+    """O(N) stable counting sort by coarse voxel bucket (dead slots last).
+
+    The fused kernel only needs particles grouped within its voxel window,
+    not fully ordered, so a coarse counting sort (one (N, nb) cumsum for the
+    destinations) replaces the argsort the general sort_p uses -- the TPU
+    re-expression of the reference's coarse/fine two-pass sort
+    (sort_p_pipeline.c: coarse histogram -> prefix -> scatter).  The 9
+    particle arrays are packed into one (N, 16) row matrix and moved with a
+    single row scatter: on TPU a row scatter costs about the same as a 1-d
+    scatter, so this is ~9x cheaper than per-array permutation."""
+    N = sp.capacity
+    nb = _round_up(g.nv, bucket) // bucket
+    b = jnp.where(sp.live, sp.i // bucket, nb)
+    onehot = (b[:, None] == jnp.arange(nb + 1)[None, :]).astype(jnp.int32)
+    cum = jnp.cumsum(onehot, axis=0)
+    rank = jnp.take_along_axis(cum, b[:, None], axis=1)[:, 0] - 1
+    counts = cum[-1]
+    offsets = jnp.concatenate([jnp.zeros((1,), jnp.int32),
+                               jnp.cumsum(counts)[:-1].astype(jnp.int32)])
+    dest = offsets[b] + rank
+
+    i_bits = jax.lax.bitcast_convert_type(sp.i, jnp.float32)
+    packed = jnp.stack([sp.dx, sp.dy, sp.dz, sp.ux, sp.uy, sp.uz, sp.w,
+                        i_bits, sp.live.astype(jnp.float32)], axis=1)
+    moved = jnp.zeros_like(packed).at[dest].set(packed)
+    return sp.replace(
+        dx=moved[:, 0], dy=moved[:, 1], dz=moved[:, 2],
+        ux=moved[:, 3], uy=moved[:, 4], uz=moved[:, 5], w=moved[:, 6],
+        i=jax.lax.bitcast_convert_type(moved[:, 7], jnp.int32),
+        live=moved[:, 8] > 0.5)
+
+
+def _kernel(g: Grid, qsp, msp, max_streak, P, V, nvp,
+            w0_ref,  # scalar prefetch: (nblocks,) window starts (int32)
+            dx_ref, dy_ref, dz_ref, vox_ref, ux_ref, uy_ref, uz_ref,
+            w_ref, live_ref, tab_ref, acc_in_ref,
+            odx_ref, ody_ref, odz_ref, ovox_ref, oux_ref, ouy_ref,
+            ouz_ref, oflag_ref, odpx_ref, odpy_ref, odpz_ref,
+            acc_ref, oow_ref):
+    b = pl.program_id(0)
+    w0 = pl.multiple_of(w0_ref[b], 128)
+
+    qdt_2mc = (qsp * g.dt) / (2.0 * msp * g.cvac)
+    cdt_dx = g.cvac * g.dt * g.rdx
+    cdt_dy = g.cvac * g.dt * g.rdy
+    cdt_dz = g.cvac * g.dt * g.rdz
+
+    # The whole accumulator is a revisited VMEM output: copy the carry-in
+    # on the first block only.
+    @pl.when(b == 0)
+    def _():
+        acc_ref[:, :] = acc_in_ref[:, :]
+        oow_ref[0, 0] = 0
+
+    dx = dx_ref[:]
+    dy = dy_ref[:]
+    dz = dz_ref[:]
+    vox = vox_ref[:]
+    ux = ux_ref[:]
+    uy = uy_ref[:]
+    uz = uz_ref[:]
+    w = w_ref[:]
+    live = live_ref[:] > 0
+
+    lane = jax.lax.broadcasted_iota(jnp.int32, (P, V), 1)
+    # Entry guard: a lane whose voxel cannot stay inside the window for the
+    # whole walk (crossings move the linear index by at most NX+1) is FROZEN
+    # (state passes through untouched) and flagged for the caller's compact
+    # XLA outlier pass -- stale-sort drift and periodic wrap-around both
+    # land here, so the fused path stays exact at any sort interval.
+    GUARD = g.NX + 2
+    loc0 = vox - w0
+    safe = live & (loc0 >= GUARD) & (loc0 < V - GUARD)
+    entry_flag = live & ~safe
+    mid_flag = jnp.zeros_like(safe)
+    local = jnp.where(safe, loc0, -1)[:, None]
+    onehot = jnp.where((lane == local), 1.0, 0.0).astype(jnp.float32)
+    oow0 = jnp.zeros((), jnp.int32)
+
+    tab_win = tab_ref[:, pl.ds(w0, V)]                    # (18, V)
+    rows = jax.lax.dot_general(
+        tab_win, onehot, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST)              # (18, P)
+
+    hax = qdt_2mc * ((rows[0] + dy * rows[1]) + dz * (rows[2] + dy * rows[3]))
+    hay = qdt_2mc * ((rows[4] + dz * rows[5]) + dx * (rows[6] + dz * rows[7]))
+    haz = qdt_2mc * ((rows[8] + dx * rows[9]) + dy * (rows[10] + dx * rows[11]))
+    cbx = rows[12] + dx * rows[13]
+    cby = rows[14] + dy * rows[15]
+    cbz = rows[16] + dz * rows[17]
+
+    ux = ux + hax
+    uy = uy + hay
+    uz = uz + haz
+    v0 = qdt_2mc * jax.lax.rsqrt(1.0 + (ux * ux + (uy * uy + uz * uz)))
+    v1 = cbx * cbx + (cby * cby + cbz * cbz)
+    v2 = (v0 * v0) * v1
+    v3 = v0 * (1.0 + v2 * (ONE_THIRD + v2 * TWO_FIFTEENTHS))
+    v4 = v3 / (1.0 + v1 * (v3 * v3))
+    v4 = v4 + v4
+    t0 = ux + v3 * (uy * cbz - uz * cby)
+    t1 = uy + v3 * (uz * cbx - ux * cbz)
+    t2 = uz + v3 * (ux * cby - uy * cbx)
+    ux = ux + v4 * (t1 * cbz - t2 * cby)
+    uy = uy + v4 * (t2 * cbx - t0 * cbz)
+    uz = uz + v4 * (t0 * cby - t1 * cbx)
+    ux = ux + hax
+    uy = uy + hay
+    uz = uz + haz
+
+    rg = jax.lax.rsqrt(1.0 + (ux * ux + (uy * uy + uz * uz)))
+    dpx = ux * cdt_dx * rg
+    dpy = uy * cdt_dy * rg
+    dpz = uz * cdt_dz * rg
+
+    # decode voxel coords (nz == 1: zi fixed at 1)
+    yi = vox // g.NX - g.NY * (vox // (g.NX * g.NY))
+    xi = vox - g.NX * (vox // g.NX)
+
+    q0 = jnp.where(safe, qsp * w, 0.0)
+    active = safe
+    acc_win = jnp.zeros((12, V), jnp.float32)
+    oow = oow0
+
+    px, py, pz = dx, dy, dz
+    for _ in range(max_streak):
+        dirx = jnp.where(dpx > 0, 1.0, -1.0)
+        diry = jnp.where(dpy > 0, 1.0, -1.0)
+        dirz = jnp.where(dpz > 0, 1.0, -1.0)
+        s0 = jnp.where(dpx == 0, BIG, (dirx - px) / jnp.where(dpx == 0, 1, dpx))
+        s1 = jnp.where(dpy == 0, BIG, (diry - py) / jnp.where(dpy == 0, 1, dpy))
+        s2 = jnp.where(dpz == 0, BIG, (dirz - pz) / jnp.where(dpz == 0, 1, dpz))
+        v3w = jnp.full_like(s0, 2.0)
+        axis = jnp.full_like(xi, 3)
+        for k, sk in enumerate((s0, s1, s2)):
+            tk = sk < v3w
+            v3w = jnp.where(tk, sk, v3w)
+            axis = jnp.where(tk, k, axis)
+        frac = 0.5 * v3w
+        sdx = dpx * frac
+        sdy = dpy * frac
+        sdz = dpz * frac
+        midx = px + sdx
+        midy = py + sdy
+        midz = pz + sdz
+
+        qa = jnp.where(active, q0, 0.0)
+        v5 = qa * sdx * sdy * sdz * ONE_THIRD
+
+        def quad(qu, dY, dZ):
+            a1 = qu * dY
+            a0 = qu - a1
+            a1 = a1 + qu
+            c = 1.0 + dZ
+            a2 = a0 * c
+            a3 = a1 * c
+            d = 1.0 - dZ
+            return (a0 * d + v5, a1 * d - v5, a2 - v5, a3 + v5)
+
+        jxs = quad(qa * sdx, midy, midz)
+        jys = quad(qa * sdy, midz, midx)
+        jzs = quad(qa * sdz, midx, midy)
+        vals = jnp.stack(jxs + jys + jzs, axis=0)         # (12, P)
+
+        vox_cur = xi + g.NX * (yi + g.NY * 1)
+        local = (vox_cur - w0)[:, None]
+        oh = jnp.where(lane == local, 1.0, 0.0).astype(jnp.float32)
+        oow = oow + jnp.sum(jnp.where(
+            active & ((vox_cur - w0 < 0) | (vox_cur - w0 >= V)), 1, 0))
+        acc_win = acc_win + jax.lax.dot_general(
+            vals, oh, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST)          # (12, V)
+
+        upd = lambda o, n: jnp.where(active, n, o)
+        dpx = upd(dpx, dpx - sdx)
+        dpy = upd(dpy, dpy - sdy)
+        dpz = upd(dpz, dpz - sdz)
+        px = upd(px, px + sdx + sdx)
+        py = upd(py, py + sdy + sdy)
+        pz = upd(pz, pz + sdz + sdz)
+
+        ended = axis == 3
+        crossing = active & ~ended
+        active = crossing
+
+        for ax, (pp, dd) in enumerate(((px, dirx), (py, diry), (pz, dirz))):
+            m = crossing & (axis == ax)
+            pn = jnp.where(m, dd, pp)
+            if ax == 0:
+                px = pn
+            elif ax == 1:
+                py = pn
+            else:
+                pz = pn
+
+        # Periodic faces: the crosser walks INTO the ghost cell (its linear
+        # voxel moves by only +-1 / +-NX, staying in the window); the caller
+        # folds ghost accumulator planes onto their periodic partners and
+        # remaps the voxel afterwards.  Reflecting faces bounce in place.
+        for ax in range(3):
+            m = crossing & (axis == ax)
+            n_ax = (g.nx, g.ny, g.nz)[ax]
+            coord = (xi, yi)[ax] if ax < 2 else jnp.ones_like(xi)
+            d = (dirx, diry, dirz)[ax]
+            newc = coord + jnp.where(d > 0, 1, -1)
+            lo_bc = g.axis_bc(ax, -1, particles=True)
+            hi_bc = g.axis_bc(ax, 1, particles=True)
+            lo_lim = 0 if lo_bc == P_PERIODIC else 1
+            hi_lim = n_ax + 1 if hi_bc == P_PERIODIC else n_ax
+            out_lo = m & (newc < lo_lim)
+            out_hi = m & (newc > hi_lim)
+            inside = m & ~out_lo & ~out_hi
+            coord = jnp.where(inside, newc, coord)
+            flip = inside
+            for side, om in ((-1, out_lo), (1, out_hi)):
+                bc = g.axis_bc(ax, side, particles=True)
+                if bc == P_PERIODIC:
+                    # Ghost-resident particle leaving the single ghost layer:
+                    # in canonical coordinates this is a normal interior move
+                    # whose voxel jumps out of the window, so freeze the lane
+                    # here and flag it (class 2): the caller's compact pass
+                    # remaps the voxel and continues the remaining
+                    # displacement through the general streak walk.
+                    mid_flag = mid_flag | om
+                    active = active & ~om
+                else:   # reflect (guarded by supports())
+                    if ax == 0:
+                        ux = jnp.where(om, -ux, ux)
+                        dpx = jnp.where(om, -dpx, dpx)
+                    elif ax == 1:
+                        uy = jnp.where(om, -uy, uy)
+                        dpy = jnp.where(om, -dpy, dpy)
+                    else:
+                        uz = jnp.where(om, -uz, uz)
+                        dpz = jnp.where(om, -dpz, dpz)
+            if ax == 0:
+                xi = coord
+                px = jnp.where(flip, -px, px)
+            elif ax == 1:
+                yi = coord
+                py = jnp.where(flip, -py, py)
+            else:
+                pz = jnp.where(flip, -pz, pz)
+
+    acc_ref[:, pl.ds(w0, V)] += acc_win
+    oow_ref[0, 0] += oow
+
+    odx_ref[:] = jnp.where(safe, px, dx)
+    ody_ref[:] = jnp.where(safe, py, dy)
+    odz_ref[:] = jnp.where(safe, pz, dz)
+    ovox_ref[:] = jnp.where(safe, xi + g.NX * (yi + g.NY * 1), vox)
+    oux_ref[:] = jnp.where(safe, ux, ux_ref[:])
+    ouy_ref[:] = jnp.where(safe, uy, uy_ref[:])
+    ouz_ref[:] = jnp.where(safe, uz, uz_ref[:])
+    oflag_ref[:] = jnp.where(entry_flag, 1, jnp.where(mid_flag, 2, 0))
+    odpx_ref[:] = dpx
+    odpy_ref[:] = dpy
+    odpz_ref[:] = dpz
+
+
+@functools.partial(jax.jit, static_argnames=("g", "qsp", "msp", "max_streak",
+                                             "block", "window"))
+def _run(sp: SpeciesState, fcoef_T, acc_T, g: Grid, qsp, msp,
+         max_streak=4, block=DEF_BLOCK, window=DEF_WINDOW):
+    N = sp.capacity
+    Np = _round_up(N, block)
+    nvp = fcoef_T.shape[1]
+    window = min(window, nvp)   # small grids: the whole table is the window
+    nblocks = Np // block
+
+    def pad(a, fill=0):
+        return jnp.pad(a, (0, Np - N), constant_values=fill)
+
+    dx, dy, dz = pad(sp.dx), pad(sp.dy), pad(sp.dz)
+    vox = pad(sp.i)
+    ux, uy, uz, w = pad(sp.ux), pad(sp.uy), pad(sp.uz), pad(sp.w)
+    live = pad(sp.live.astype(jnp.int32))
+
+    # Window starts: centered on the block's middle-slot voxel (slot order
+    # approximates voxel order under the bucket sort, and a median-like
+    # anchor is robust to wrapped/stale outliers, which the kernel freezes
+    # and flags for the outlier pass).
+    vb = vox.reshape(nblocks, block)
+    mid = vb[:, block // 2]
+    w0 = jnp.clip((mid // 128) * 128 - window // 2, 0, nvp - window)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(nblocks,),
+        in_specs=[pl.BlockSpec((block,), lambda b, w0: (b,))] * 9
+        + [pl.BlockSpec((18, nvp), lambda b, w0: (0, 0)),
+           pl.BlockSpec((12, nvp), lambda b, w0: (0, 0))],
+        out_specs=[pl.BlockSpec((block,), lambda b, w0: (b,))] * 11
+        + [pl.BlockSpec((12, nvp), lambda b, w0: (0, 0)),
+           pl.BlockSpec((1, 1), lambda b, w0: (0, 0),
+                        memory_space=pltpu.SMEM)],
+    )
+
+    kernel = functools.partial(_kernel, g, qsp, msp, max_streak, block,
+                               window, nvp)
+    out_shapes = ([jax.ShapeDtypeStruct((Np,), jnp.float32)] * 3
+                  + [jax.ShapeDtypeStruct((Np,), jnp.int32)]
+                  + [jax.ShapeDtypeStruct((Np,), jnp.float32)] * 3
+                  + [jax.ShapeDtypeStruct((Np,), jnp.int32)]
+                  + [jax.ShapeDtypeStruct((Np,), jnp.float32)] * 3
+                  + [jax.ShapeDtypeStruct((12, nvp), jnp.float32),
+                     jax.ShapeDtypeStruct((1, 1), jnp.int32)])
+    interpret = jax.devices()[0].platform != "tpu"
+    outs = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=out_shapes,
+        interpret=interpret,
+        compiler_params=None if interpret else pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",)),
+    )(w0, dx, dy, dz, vox, ux, uy, uz, w, live, fcoef_T, acc_T)
+
+    (odx, ody, odz, ovox, oux, ouy, ouz, oflag, odpx, odpy, odpz,
+     acc_out, oow) = outs
+    new_sp = sp.replace(dx=odx[:N], dy=ody[:N], dz=odz[:N],
+                        i=jnp.where(sp.live, ovox[:N], sp.i),
+                        ux=oux[:N], uy=ouy[:N], uz=ouz[:N])
+    return (new_sp, acc_out, oflag[:N],
+            (odpx[:N], odpy[:N], odpz[:N]), oow[0, 0])
+
+
+def remap_ghost_voxels(sp: SpeciesState, g: Grid) -> SpeciesState:
+    """Wrap periodic ghost-resident voxels back to their real cells (the
+    kernel lets crossers walk into ghost cells; see kernel comment)."""
+    zi, r = jnp.divmod(sp.i, g.sz)
+    yi, xi = jnp.divmod(r, g.sy)
+    coords = [xi, yi, zi]
+    for ax, n_ax in enumerate((g.nx, g.ny, g.nz)):
+        if g.axis_bc(ax, -1, particles=True) != P_PERIODIC:
+            continue
+        c = coords[ax]
+        c = jnp.where(c == 0, n_ax, c)
+        coords[ax] = jnp.where(c == n_ax + 1, 1, c)
+    vox = coords[0] + g.NX * (coords[1] + g.NY * coords[2])
+    return sp.replace(i=jnp.where(sp.live, vox, sp.i))
+
+
+def fold_ghost_acc_T(acc_T, g: Grid):
+    """Fold periodic ghost-plane deposits onto their real partner planes
+    (the transposed-layout analogue of the accumulator ghost convention)."""
+    a = acc_T[:, :g.nv].reshape(12, g.NZ, g.NY, g.NX)
+    for ax, n_ax in enumerate((g.nx, g.ny, g.nz)):
+        if g.axis_bc(ax, -1, particles=True) != P_PERIODIC:
+            continue
+        aa = 3 - ax  # array axis within (12, NZ, NY, NX)
+        lo = jax.lax.index_in_dim(a, 0, aa, keepdims=False)
+        hi = jax.lax.index_in_dim(a, n_ax + 1, aa, keepdims=False)
+        idx = [slice(None)] * 4
+        idx[aa] = n_ax
+        a = a.at[tuple(idx)].add(lo)
+        idx[aa] = 1
+        a = a.at[tuple(idx)].add(hi)
+        idx[aa] = 0
+        a = a.at[tuple(idx)].set(0.0)
+        idx[aa] = n_ax + 1
+        a = a.at[tuple(idx)].set(0.0)
+    nvp = acc_T.shape[1]
+    return jnp.pad(a.reshape(12, g.nv), ((0, 0), (0, nvp - g.nv)))
+
+
+def _compact(sp: SpeciesState, flags, extra, cap):
+    """Gather flagged lanes into a fixed-size buffer; returns (small_species,
+    small_extra_arrays, idx, valid)."""
+    count = jnp.sum(flags.astype(jnp.int32))
+    idx = jnp.nonzero(flags, size=cap, fill_value=0)[0]
+    valid = (jax.lax.broadcasted_iota(jnp.int32, (cap, 1), 0)[:, 0] < count)
+    takef = lambda a: jnp.where(valid, a[idx], 0.0)
+    small = SpeciesState(
+        dx=takef(sp.dx), dy=takef(sp.dy), dz=takef(sp.dz),
+        i=jnp.where(valid, sp.i[idx], 0),
+        ux=takef(sp.ux), uy=takef(sp.uy), uz=takef(sp.uz),
+        w=takef(sp.w), live=valid & sp.live[idx], np=count)
+    return small, tuple(takef(a) for a in extra), idx, valid
+
+
+def _scatter_back(sp: SpeciesState, s2: SpeciesState, idx, valid):
+    tgt = jnp.where(valid, idx, sp.capacity)           # OOB -> dropped
+    putf = lambda a, v: a.at[tgt].set(v, mode="drop")
+    return sp.replace(
+        dx=putf(sp.dx, s2.dx), dy=putf(sp.dy, s2.dy), dz=putf(sp.dz, s2.dz),
+        i=putf(sp.i, s2.i), ux=putf(sp.ux, s2.ux), uy=putf(sp.uy, s2.uy),
+        uz=putf(sp.uz, s2.uz), w=putf(sp.w, s2.w),
+        live=putf(sp.live, s2.live))
+
+
+def outlier_pass(sp: SpeciesState, oflag, odp, fcoef_T, g: Grid,
+                 qsp: float, msp: float, acc_small, rhob_flat,
+                 max_streak: int = 4, cap: int = 0):
+    """Handle kernel-flagged outlier lanes on compacted fixed-size buffers:
+
+    class 1 (entry guard: stale-sort drift): the kernel skipped the lane
+      entirely -> redo the full push through the general XLA advance_p;
+    class 2 (mid-walk chart exit): the lane advanced and deposited up to the
+      ghost-layer boundary -> remap the voxel and continue the remaining
+      displacement through the general streak walk (boundary_p-style
+      continuation).
+
+    acc_small is a separate (nv, 12) accumulator merged at unload."""
+    from .push import DONE, advance_p, streak_walk
+    N = sp.capacity
+    cap = cap or max(256, N // 64)
+
+    # --- class 1: full redo ---
+    small, _, idx, valid = _compact(sp, oflag == 1, (), cap)
+    small = remap_ghost_voxels(small, g)
+    rows = fcoef_T[:, small.i].T                       # (cap, 18)
+    res = advance_p(small, None, g, qsp, msp, acc_small, rhob_flat,
+                    max_streak=max_streak, rows=rows)
+    sp = _scatter_back(sp, res.species, idx, valid)
+    acc_small, rhob_flat = res.acc, res.rhob_flat
+
+    # --- class 2: continuation of remaining displacement ---
+    small, (cdx, cdy, cdz), idx, valid = _compact(
+        sp, oflag == 2, (odp[0], odp[1], odp[2]), cap)
+    small = remap_ghost_voxels(small, g)
+    zi, r = jnp.divmod(small.i, g.sz)
+    yi, xi = jnp.divmod(r, g.sy)
+    pend0 = jnp.full((cap,), DONE, jnp.int32)
+    (pos, disp, coords, u, alive, pend, acc_small, rhob_flat) = streak_walk(
+        g, qsp, small.w, (small.dx, small.dy, small.dz), (cdx, cdy, cdz),
+        (xi, yi, zi), (small.ux, small.uy, small.uz),
+        small.live, small.live, pend0, acc_small, rhob_flat, max_streak)
+    s2 = small.replace(dx=pos[0], dy=pos[1], dz=pos[2],
+                       i=coords[0] + g.NX * (coords[1] + g.NY * coords[2]),
+                       ux=u[0], uy=u[1], uz=u[2], live=alive)
+    sp = _scatter_back(sp, s2, idx, valid)
+    return sp, acc_small, rhob_flat
+
+
+def fused_push(sp: SpeciesState, fcoef_T, acc_T, g: Grid, qsp: float,
+               msp: float, max_streak: int = 4, block: int = DEF_BLOCK,
+               window: int = DEF_WINDOW):
+    """One species push through the fused kernel (transposed layouts).
+
+    Precondition: particles bucket-sorted recently enough that each block's
+    voxels fit the window (flagged outliers go to outlier_pass).  Particles
+    may reside in periodic ghost cells between sorts (the interpolator table
+    carries ghost columns and fold_ghost_acc_T folds their deposits);
+    callers remap_ghost_voxels before sorting / external consumption.
+    Returns (species, acc_T, outlier_flags, remaining_disp, oow)."""
+    new_sp, acc_out, oflag, odp, oow = _run(sp, fcoef_T, acc_T, g,
+                                            float(qsp), float(msp),
+                                            max_streak, block, window)
+    return new_sp, acc_out, oflag, odp, oow
+
+
+def advance_p_fused(sp: SpeciesState, fcoef, g: Grid, qsp: float, msp: float,
+                    acc, rhob_flat, max_streak: int = 4,
+                    block: int = DEF_BLOCK,
+                    window: int = DEF_WINDOW) -> PushResult:
+    """Drop-in replacement for ops.push.advance_p (layout conversions at the
+    boundary; used by tests -- the deck fast path drives fused_push with
+    persistent transposed layouts instead)."""
+    nvp = _round_up(g.nv, 128)
+    fcoef_T = jnp.zeros((18, nvp), jnp.float32).at[:, :g.nv].set(fcoef.T)
+    acc_T = jnp.zeros((12, nvp), jnp.float32).at[:, :g.nv].set(acc.T)
+    sp = bucket_sort_p(sp, g)
+    new_sp, acc_T, oflag, odp, oow = fused_push(sp, fcoef_T, acc_T, g, qsp,
+                                                msp, max_streak, block,
+                                                window)
+    acc_small = jnp.zeros((g.nv, 12), jnp.float32)
+    new_sp, acc_small, rhob_flat = outlier_pass(
+        new_sp, oflag, odp, fcoef_T, g, qsp, msp, acc_small, rhob_flat,
+        max_streak)
+    new_sp = remap_ghost_voxels(new_sp, g)
+    acc_T = fold_ghost_acc_T(acc_T, g)
+    acc_T = acc_T.at[:, :g.nv].add(acc_small.T)
+    acc_new = acc_T[:, :g.nv].T
+    pend = jnp.full((sp.capacity,), -1, jnp.int32)
+    zeros = jnp.zeros((sp.capacity,), jnp.float32)
+    return PushResult(new_sp, acc_new, rhob_flat, pend,
+                      (zeros, zeros, zeros), oow)

@@ -379,11 +379,14 @@ def streak_walk(g: Grid, qsp, w, pos, disp, coords, u, active, alive,
 
 
 def advance_p(sp: SpeciesState, fcoef, g: Grid, qsp: float, msp: float,
-              acc, rhob_flat, max_streak: int = 4) -> PushResult:
+              acc, rhob_flat, max_streak: int = 4,
+              rows=None) -> PushResult:
     """One leapfrog step for one species (see module docstring).
 
     ``acc`` is the shared (nv, 12) accumulator: contributions from every
-    species add into it, like the reference's single accumulator array."""
+    species add into it, like the reference's single accumulator array.
+    ``rows`` optionally provides pre-gathered (N, 18) interpolator rows
+    (used by the fused path's outlier fallback)."""
     N = sp.capacity
     qdt_2mc = (qsp * g.dt) / (2.0 * msp * g.cvac)
     cdt_dx = g.cvac * g.dt * g.rdx
@@ -392,7 +395,8 @@ def advance_p(sp: SpeciesState, fcoef, g: Grid, qsp: float, msp: float,
     alive = sp.alive
 
     dx, dy, dz = sp.dx, sp.dy, sp.dz
-    rows = fcoef[sp.i]
+    if rows is None:
+        rows = fcoef[sp.i]
     hax, hay, haz, cbx, cby, cbz = _interp_fields(rows, dx, dy, dz, qdt_2mc)
 
     ux = sp.ux + hax
