@@ -164,3 +164,34 @@ def test_native_io_writer(tmp_path):
         w.write(data)
     w.close()
     assert os.path.getsize(tmp_path / "blob2") == 8 * len(data)
+
+
+def test_dump_reader_roundtrip(wrun, tmp_path):
+    """utilities/read_dumps.py parses the V0 files back (post-processing
+    interface analogue)."""
+    import sys
+    sys.path.insert(0, os.path.join(os.path.dirname(
+        os.path.dirname(os.path.abspath(__file__))), "utilities"))
+    import read_dumps as RD
+    sim, state, _ = wrun
+    g = sim.grid
+    names = DU.dump_fields(sim, state, str(tmp_path / "f"))
+    hdr, fields = RD.read_fields(names[0])
+    assert hdr["nx"] == g.nx and hdr["step"] == int(np.asarray(state.step))
+    np.testing.assert_allclose(fields["ey"],
+                               np.asarray(state.fields.ey), rtol=1e-6)
+    names = DU.dump_particles(sim, state, "electron", str(tmp_path / "p"))
+    hdr, parts = RD.read_particles(names[0])
+    assert len(parts) == int(np.asarray(state.species[0].np))
+    names = DU.dump_hydro(sim, state, "ion", str(tmp_path / "h"))
+    hdr, hyd = RD.read_hydro(names[0])
+    assert np.isfinite(hyd["rho"]).all()
+
+
+def test_checksum(wrun):
+    sim, state, step = wrun
+    c1 = CK.checksum(state)
+    c2 = CK.checksum(state)
+    assert c1 == c2
+    c3 = CK.checksum(step(state))
+    assert c3 != c1

@@ -107,3 +107,41 @@ def absorb_tally():
 
     handler.tallies = tallies
     return handler
+
+
+def link_boundary(prefix: str = "link"):
+    """link_boundary (src/boundary/link.c:18-74): absorbing BC that logs
+    absorbed-particle records.  Device side it behaves like absorb_tally;
+    the absorbed records (position, momentum, weight) of each application
+    are appended to the handler's ``records`` list for the host to dump via
+    ``write_links`` (the jit boundary cannot do file I/O itself)."""
+    records = []
+
+    def handler(key, sp, pend, disp, acc, rhob, g: Grid, spp, face):
+        mask = (pend == CUSTOM_BASE + face) & sp.live
+        rhob = deposit_rhob(rhob, g, sp.i, sp.dx, sp.dy, sp.dz, sp.w,
+                            spp.q, mask)
+        records.append((spp.name, face, mask, sp.i, sp.dx, sp.dy, sp.dz,
+                        sp.ux, sp.uy, sp.uz, sp.w))
+        live = sp.live & ~mask
+        sp = sp.replace(live=live, w=jnp.where(live, sp.w, 0.0),
+                        np=jnp.sum(live.astype(jnp.int32)))
+        pend = jnp.where(mask, DONE, pend)
+        return sp, pend, disp, acc, rhob
+
+    def write_links(rank: int = 0):
+        import numpy as np
+        with open(f"{prefix}.{rank}", "a") as fh:
+            for name, face, mask, i, dx, dy, dz, ux, uy, uz, w in records:
+                m = np.asarray(mask)
+                for vals in zip(np.asarray(i)[m], np.asarray(dx)[m],
+                                np.asarray(dy)[m], np.asarray(dz)[m],
+                                np.asarray(ux)[m], np.asarray(uy)[m],
+                                np.asarray(uz)[m], np.asarray(w)[m]):
+                    fh.write(f"{name} {face} " +
+                             " ".join(str(v) for v in vals) + "\n")
+        records.clear()
+
+    handler.write_links = write_links
+    handler.records = records
+    return handler

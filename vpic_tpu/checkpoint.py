@@ -108,3 +108,16 @@ def modify(sim, path: str):
             if field in allowed:
                 setattr(sim, field, int(float(val)))
     return sim
+
+
+def checksum(state: SimState) -> str:
+    """Field/species state checksum (the optional OpenSSL checksum hooks,
+    src/vpic/misc.cc:177-280) for regression comparisons."""
+    import hashlib
+    h = hashlib.sha256()
+    for n in _FIELDS:
+        h.update(np.asarray(getattr(state.fields, n)).tobytes())
+    for sp in state.species:
+        for n in _SP:
+            h.update(np.asarray(getattr(sp, n)).tobytes())
+    return h.hexdigest()

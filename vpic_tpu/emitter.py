@@ -158,3 +158,26 @@ def child_langmuir(sp_idx: int, spp: SpeciesParams, components,
 
 
 FACE_AXIS_ARR = jnp.asarray(FACE_AXIS, jnp.int32)
+
+
+def volume_components(g: Grid, region: Callable, shard=(0, 0, 0)):
+    """define_volume_emitter scan (deck/wrapper.h:310-383): every face of
+    every cell inside the region is an emission component."""
+    x0 = g.x0 + shard[0] * g.nx * g.dx
+    y0 = g.y0 + shard[1] * g.ny * g.dy
+    z0 = g.z0 + shard[2] * g.nz * g.dz
+    xc = x0 + g.dx * (np.arange(g.NX) - 0.5)
+    yc = y0 + g.dy * (np.arange(g.NY) - 0.5)
+    zc = z0 + g.dz * (np.arange(g.NZ) - 0.5)
+    Z, Y, X = np.meshgrid(zc, yc, xc, indexing="ij")
+    inside = np.vectorize(region, otypes=[bool])(X, Y, Z)
+    inside[0, :, :] = inside[-1, :, :] = False
+    inside[:, 0, :] = inside[:, -1, :] = False
+    inside[:, :, 0] = inside[:, :, -1] = False
+    idx = np.argwhere(inside)
+    vox, faces = [], []
+    for (z, y, x) in idx:
+        for f in range(6):
+            vox.append(int(x + g.NX * (y + g.NY * z)))
+            faces.append(f)
+    return (np.asarray(vox, np.int32), np.asarray(faces, np.int32))
