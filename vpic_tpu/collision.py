@@ -290,8 +290,10 @@ def make_takizuka_abe_op(spi_idx: int, spj_idx: int, spi: SpeciesParams,
 
     def angle(key, ur, p, pr):
         var = pref * p["n_local"] * g.dt * interval / \
-            jnp.maximum(ur, 1e-20) ** 3
+            jnp.maximum(ur, 1e-12) ** 3
         delta = jnp.sqrt(var) * jax.random.normal(key, ur.shape)
+        # comoving pairs do not scatter; huge delta is full backscatter
+        delta = jnp.where(ur > 1e-12, jnp.clip(delta, -1e3, 1e3), 0.0)
         cos_t = (1.0 - delta * delta) / (1.0 + delta * delta)
         sin_t = 2.0 * delta / (1.0 + delta * delta)
         return cos_t, sin_t

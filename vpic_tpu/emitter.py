@@ -181,3 +181,65 @@ def volume_components(g: Grid, region: Callable, shard=(0, 0, 0)):
             vox.append(int(x + g.NX * (y + g.NY * z)))
             faces.append(f)
     return (np.asarray(vox, np.int32), np.asarray(faces, np.int32))
+
+
+def runtime_inject(sp: SpeciesState, g: Grid, acc, rhob, key,
+                   x, y, z, ux, uy, uz, w, qsp, age=None,
+                   update_rhob: bool = False, max_streak: int = 4):
+    """Device-side inject_particle (misc.cc:16-100) for
+    user_particle_injection hooks: global coordinates -> (voxel, offset)
+    conversion, optional rhob bookkeeping and "aged" partial push through
+    the streak walk.  All arguments are fixed-size arrays; lanes with w < 0
+    are skipped (the static-shape analogue of conditional injection).
+
+    Returns (species, acc, rhob).  Note: the conversion runs in f32 on
+    device (the reference stages in f64 on the host; for init-time staging
+    use Simulation.inject_particle, which does too)."""
+    M = x.shape[0]
+    valid = w >= 0
+
+    def conv(v, v0, v1, n):
+        s = n * ((v - v0) / (v1 - v0))
+        iv = jnp.clip(s.astype(jnp.int32), 0, n - 1)
+        frac = s - iv.astype(jnp.float32)
+        return 2.0 * frac - 1.0, iv + 1
+
+    dx, ix = conv(x, g.x0, g.x1, g.gnx)
+    dy, iy = conv(y, g.y0, g.y1, g.gny)
+    dz, iz = conv(z, g.z0, g.z1, g.gnz)
+    vox = ix + g.NX * (iy + g.NY * iz)
+
+    (sp,) = compact(sp)
+    rank = jnp.cumsum(valid.astype(jnp.int32)) - 1
+    slot = jnp.where(valid, sp.np + rank, sp.capacity)
+    n_new = jnp.minimum(jnp.sum(valid.astype(jnp.int32)),
+                        sp.capacity - sp.np)
+    ins = lambda a, v: a.at[slot].set(v, mode="drop")
+    sp = sp.replace(dx=ins(sp.dx, dx), dy=ins(sp.dy, dy), dz=ins(sp.dz, dz),
+                    i=ins(sp.i, vox), ux=ins(sp.ux, ux), uy=ins(sp.uy, uy),
+                    uz=ins(sp.uz, uz), w=ins(sp.w, jnp.maximum(w, 0.0)),
+                    live=ins(sp.live, valid), np=sp.np + n_new)
+    newmask = ins(jnp.zeros((sp.capacity,), bool), valid)
+    if update_rhob:
+        rhob = deposit_rhob(rhob, g, sp.i, sp.dx, sp.dy, sp.dz, sp.w,
+                            -qsp, newmask)
+    if age is not None:
+        gam = jnp.sqrt(1.0 + ux * ux + uy * uy + uz * uz)
+        aged = age * g.cvac * g.dt / gam
+        zeros = jnp.zeros((sp.capacity,), jnp.float32)
+        disp = (ins(zeros, ux * aged * g.rdx),
+                ins(zeros, uy * aged * g.rdy),
+                ins(zeros, uz * aged * g.rdz))
+        pend = jnp.full((sp.capacity,), DONE, jnp.int32)
+        zi, r = jnp.divmod(sp.i, g.sz)
+        yi, xi = jnp.divmod(r, g.sy)
+        (pos, disp, coords, u, alive, pend, acc, rhob) = streak_walk(
+            g, qsp, sp.w, (sp.dx, sp.dy, sp.dz), disp, (xi, yi, zi),
+            (sp.ux, sp.uy, sp.uz), newmask & sp.live, sp.live, pend, acc,
+            rhob, max_streak)
+        vox2 = coords[0] + g.NX * (coords[1] + g.NY * coords[2])
+        sp = sp.replace(dx=pos[0], dy=pos[1], dz=pos[2], i=vox2,
+                        ux=u[0], uy=u[1], uz=u[2],
+                        w=jnp.where(alive, sp.w, 0.0), live=alive,
+                        np=jnp.sum(alive.astype(jnp.int32)))
+    return sp, acc, rhob

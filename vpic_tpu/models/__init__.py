@@ -1,3 +1,3 @@
 """Built-in decks (analogues of the reference's sample/ decks)."""
 
-from . import beam_plas, harris, lpi, weibel  # noqa: F401
+from . import beam_plas, harris, lpi, reconnection, weibel  # noqa: F401
