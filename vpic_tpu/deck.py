@@ -741,6 +741,51 @@ class Simulation:
         mesh = make_mesh(self.grid)
         return jax.jit(shard_fn(adv, self.grid, mesh))
 
+    def run(self, state: SimState = None, num_step: int = None,
+            energies_file: str = None, checkpt_base: str = None,
+            checkpt_interval: int = 0, quota_s: float = None,
+            verbose: bool = True) -> SimState:
+        """The main loop (deck/main.cc:121 `while(advance());`) with the
+        standard diagnostics idioms: status printing + profile table at
+        status_interval, energies appending, interval- or quota-based
+        checkpointing (sample/harris:395-404)."""
+        import time as _time
+        from . import checkpoint as _ck
+        from . import dump as _dump
+        from .utils.profile import Profile
+
+        if state is None:
+            state = self.initialize()
+        step_fn = self.make_step()
+        n = num_step if num_step is not None else self.num_step
+        prof = Profile()
+        t0 = _time.time()
+        if energies_file:
+            _dump.dump_energies(self, state, energies_file, append=False)
+        start = int(jnp.max(state.step))
+        for k in range(start, n):
+            with prof.tic("advance"):
+                state = step_fn(state)
+            s = k + 1
+            if self.status_interval and s % self.status_interval == 0:
+                jax.block_until_ready(state.fields.ex)
+                if verbose:
+                    print(f"Completed step {s} of {n}")
+                    prof.update_profile()
+                if energies_file:
+                    with prof.tic("dump_energies"):
+                        _dump.dump_energies(self, state, energies_file)
+            if checkpt_base and checkpt_interval and \
+                    s % checkpt_interval == 0:
+                with prof.tic("checkpt"):
+                    _ck.checkpt(state, checkpt_base, sim=self)
+            if quota_s is not None and _time.time() - t0 > quota_s:
+                if checkpt_base:
+                    _ck.checkpt(state, checkpt_base, tag="quota", sim=self)
+                break
+        jax.block_until_ready(state.fields.ex)
+        return state
+
     # ---------------- diagnostics ----------------
 
     def _energies_local(self, f, species):

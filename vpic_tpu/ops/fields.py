@@ -52,8 +52,42 @@ def get_plane(a, spatial_axis: int, idx):
     return a[_plane_idx(a, spatial_axis, idx)]
 
 
+def slset(a, sl, val):
+    """a.at[sl].set(val) for static slices/ints, expressed as
+    pad + iota-mask + select so it lowers inside Pallas kernels (Mosaic
+    supports neither scatter nor value-level dynamic_update_slice)."""
+    if not isinstance(sl, tuple):
+        sl = (sl,)
+    pads = []
+    mask = None
+    for k in range(a.ndim):
+        e = sl[k] if k < len(sl) else _ALL
+        if isinstance(e, slice):
+            start = e.start or 0
+            stop = a.shape[k] if e.stop is None else (
+                e.stop if e.stop >= 0 else a.shape[k] + e.stop)
+        else:
+            start, stop = e, e + 1
+            val = jnp.expand_dims(val, k)
+        pads.append((start, a.shape[k] - stop))
+        if (start, stop) != (0, a.shape[k]):
+            idx = jax.lax.broadcasted_iota(jnp.int32, a.shape, k)
+            mk = (idx >= start) & (idx < stop)
+            mask = mk if mask is None else (mask & mk)
+    padded = jnp.pad(jnp.broadcast_to(val.astype(a.dtype),
+                                      tuple(s - p[0] - p[1]
+                                            for s, p in zip(a.shape, pads))),
+                     pads)
+    if mask is None:
+        return padded
+    return jnp.where(mask, padded, a)
+
+
 def set_plane(a, spatial_axis: int, idx, val):
-    return a.at[_plane_idx(a, spatial_axis, idx)].set(val)
+    aa = _arr_axis(spatial_axis)
+    sl = [_ALL, _ALL, _ALL]
+    sl[aa] = idx
+    return slset(a, tuple(sl), val)
 
 
 def _slc(a, sl):
@@ -64,6 +98,11 @@ def _slc(a, sl):
 def _sl3(zsl=_ALL, ysl=_ALL, xsl=_ALL):
     return (zsl, ysl, xsl)
 
+
+
+def _sladd(a, sl, v):
+    """a.at[sl].add(v) for static slices via dynamic_update_slice."""
+    return slset(a, sl, a[sl] + v)
 
 # Slices named by spatial extent (FORTRAN index ranges on 0..n+1 arrays):
 INT = slice(1, -1)      # 1..n
@@ -513,15 +552,15 @@ def advance_b(f: FieldState, g: Grid, frac: float) -> FieldState:
     # cbx[z,y,x] -= py*(ez[z,y+1,x]-ez[z,y,x]) - pz*(ey[z+1,y,x]-ey[z,y,x])
     dcbx = (py * (ez[_sl3(INT, HI, INTH)] - ez[_sl3(INT, INT, INTH)])
             - pz * (ey[_sl3(HI, INT, INTH)] - ey[_sl3(INT, INT, INTH)]))
-    cbx = f.cbx.at[_sl3(INT, INT, INTH)].add(-dcbx)
+    cbx = _sladd(f.cbx, _sl3(INT, INT, INTH), -dcbx)
 
     dcby = (pz * (ex[_sl3(HI, INTH, INT)] - ex[_sl3(INT, INTH, INT)])
             - px * (ez[_sl3(INT, INTH, HI)] - ez[_sl3(INT, INTH, INT)]))
-    cby = f.cby.at[_sl3(INT, INTH, INT)].add(-dcby)
+    cby = _sladd(f.cby, _sl3(INT, INTH, INT), -dcby)
 
     dcbz = (px * (ey[_sl3(INTH, INT, HI)] - ey[_sl3(INTH, INT, INT)])
             - py * (ex[_sl3(INTH, HI, INT)] - ex[_sl3(INTH, INT, INT)]))
-    cbz = f.cbz.at[_sl3(INTH, INT, INT)].add(-dcbz)
+    cbz = _sladd(f.cbz, _sl3(INTH, INT, INT), -dcbz)
 
     return f.replace(cbx=cbx, cby=cby, cbz=cbz)
 
@@ -553,8 +592,8 @@ def advance_e(f: FieldState, g: Grid, m: MaterialCoeffs,
             - damp * f.tcax[t])
     ex = (_slc(m.decayx, t) * f.ex[t]
           + _slc(m.drivex, t) * (tcax - cj * f.jfx[t]))
-    new_tcax = f.tcax.at[t].set(tcax)
-    new_ex = f.ex.at[t].set(ex)
+    new_tcax = slset(f.tcax, t, tcax)
+    new_ex = slset(f.ex, t, ex)
 
     # ey over y in 1..ny, z in 1..nz+1, x in 1..nx+1
     t = _sl3(INTH, INT, INTH)
@@ -565,8 +604,8 @@ def advance_e(f: FieldState, g: Grid, m: MaterialCoeffs,
             - damp * f.tcay[t])
     ey = (_slc(m.decayy, t) * f.ey[t]
           + _slc(m.drivey, t) * (tcay - cj * f.jfy[t]))
-    new_tcay = f.tcay.at[t].set(tcay)
-    new_ey = f.ey.at[t].set(ey)
+    new_tcay = slset(f.tcay, t, tcay)
+    new_ey = slset(f.ey, t, ey)
 
     # ez over z in 1..nz, x in 1..nx+1, y in 1..ny+1
     t = _sl3(INT, INTH, INTH)
@@ -577,8 +616,8 @@ def advance_e(f: FieldState, g: Grid, m: MaterialCoeffs,
             - damp * f.tcaz[t])
     ez = (_slc(m.decayz, t) * f.ez[t]
           + _slc(m.drivez, t) * (tcaz - cj * f.jfz[t]))
-    new_tcaz = f.tcaz.at[t].set(tcaz)
-    new_ez = f.ez.at[t].set(ez)
+    new_tcaz = slset(f.tcaz, t, tcaz)
+    new_ez = slset(f.ez, t, ez)
 
     f = f.replace(ex=new_ex, ey=new_ey, ez=new_ez,
                   tcax=new_tcax, tcay=new_tcay, tcaz=new_tcaz)
@@ -597,21 +636,21 @@ def compute_curl_b(f: FieldState, g: Grid, m: MaterialCoeffs) -> FieldState:
     zm = _sl3(LOH, INTH, INT)
     tcax = (py * (f.cbz[t] * _slc(m.rmuz, t) - f.cbz[ym] * _slc(m.rmuz, ym))
             - pz * (f.cby[t] * _slc(m.rmuy, t) - f.cby[zm] * _slc(m.rmuy, zm)))
-    new_tcax = f.tcax.at[t].set(tcax)
+    new_tcax = slset(f.tcax, t, tcax)
 
     t = _sl3(INTH, INT, INTH)
     zm = _sl3(LOH, INT, INTH)
     xm = _sl3(INTH, INT, LOH)
     tcay = (pz * (f.cbx[t] * _slc(m.rmux, t) - f.cbx[zm] * _slc(m.rmux, zm))
             - px * (f.cbz[t] * _slc(m.rmuz, t) - f.cbz[xm] * _slc(m.rmuz, xm)))
-    new_tcay = f.tcay.at[t].set(tcay)
+    new_tcay = slset(f.tcay, t, tcay)
 
     t = _sl3(INT, INTH, INTH)
     xm = _sl3(INT, INTH, LOH)
     ym = _sl3(INT, LOH, INTH)
     tcaz = (px * (f.cby[t] * _slc(m.rmuy, t) - f.cby[xm] * _slc(m.rmuy, xm))
             - py * (f.cbx[t] * _slc(m.rmux, t) - f.cbx[ym] * _slc(m.rmux, ym)))
-    new_tcaz = f.tcaz.at[t].set(tcaz)
+    new_tcaz = slset(f.tcaz, t, tcaz)
 
     f = f.replace(tcax=new_tcax, tcay=new_tcay, tcaz=new_tcaz)
     return adjust_tang_e(f, g)
@@ -651,7 +690,7 @@ def compute_div_e_err(f: FieldState, g: Grid, m: MaterialCoeffs) -> FieldState:
         + py * (_slc(m.epsy, t) * f.ey[t] - _slc(m.epsy, ym) * f.ey[ym])
         + pz * (_slc(m.epsz, t) * f.ez[t] - _slc(m.epsz, zm) * f.ez[zm])
         - cj * (f.rhof[t] + f.rhob[t]))
-    f = f.replace(div_e_err=f.div_e_err.at[t].set(err))
+    f = f.replace(div_e_err=slset(f.div_e_err, t, err))
     return adjust_div_e_err(f, g)
 
 
@@ -671,7 +710,7 @@ def compute_rhob(f: FieldState, g: Grid, m: MaterialCoeffs) -> FieldState:
         + py * (_slc(m.epsy, t) * f.ey[t] - _slc(m.epsy, ym) * f.ey[ym])
         + pz * (_slc(m.epsz, t) * f.ez[t] - _slc(m.epsz, zm) * f.ez[zm])
         - f.rhof[t])
-    f = f.replace(rhob=f.rhob.at[t].set(rhob))
+    f = f.replace(rhob=slset(f.rhob, t, rhob))
     return adjust_rhob(f, g)
 
 
@@ -703,15 +742,15 @@ def clean_div_e(f: FieldState, g: Grid, m: MaterialCoeffs) -> FieldState:
 
     t = _sl3(INTH, INTH, INT)
     xp = _sl3(INTH, INTH, HI)
-    ex = f.ex.at[t].add(_slc(m.drivex, t) * px * (err[xp] - err[t]))
+    ex = _sladd(f.ex, t, _slc(m.drivex, t) * px * (err[xp] - err[t]))
 
     t = _sl3(INTH, INT, INTH)
     yp = _sl3(INTH, HI, INTH)
-    ey = f.ey.at[t].add(_slc(m.drivey, t) * py * (err[yp] - err[t]))
+    ey = _sladd(f.ey, t, _slc(m.drivey, t) * py * (err[yp] - err[t]))
 
     t = _sl3(INT, INTH, INTH)
     zp = _sl3(HI, INTH, INTH)
-    ez = f.ez.at[t].add(_slc(m.drivez, t) * pz * (err[zp] - err[t]))
+    ez = _sladd(f.ez, t, _slc(m.drivez, t) * pz * (err[zp] - err[t]))
 
     return f.replace(ex=ex, ey=ey, ez=ez)
 
@@ -725,7 +764,7 @@ def compute_div_b_err(f: FieldState, g: Grid) -> FieldState:
     err = (px * (f.cbx[_sl3(INT, INT, HI)] - f.cbx[t])
            + py * (f.cby[_sl3(INT, HI, INT)] - f.cby[t])
            + pz * (f.cbz[_sl3(HI, INT, INT)] - f.cbz[t]))
-    return f.replace(div_b_err=f.div_b_err.at[t].set(err))
+    return f.replace(div_b_err=slset(f.div_b_err, t, err))
 
 
 def compute_rms_div_b_err(f: FieldState, g: Grid):
@@ -748,15 +787,15 @@ def clean_div_b(f: FieldState, g: Grid) -> FieldState:
 
     t = _sl3(INT, INT, INTH)
     xm = _sl3(INT, INT, LOH)
-    cbx = f.cbx.at[t].add(px * (err[t] - err[xm]))
+    cbx = _sladd(f.cbx, t, px * (err[t] - err[xm]))
 
     t = _sl3(INT, INTH, INT)
     ym = _sl3(INT, LOH, INT)
-    cby = f.cby.at[t].add(py * (err[t] - err[ym]))
+    cby = _sladd(f.cby, t, py * (err[t] - err[ym]))
 
     t = _sl3(INTH, INT, INT)
     zm = _sl3(LOH, INT, INT)
-    cbz = f.cbz.at[t].add(pz * (err[t] - err[zm]))
+    cbz = _sladd(f.cbz, t, pz * (err[t] - err[zm]))
 
     f = f.replace(cbx=cbx, cby=cby, cbz=cbz)
     return adjust_norm_b(f, g)

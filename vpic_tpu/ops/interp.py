@@ -28,7 +28,7 @@ import jax.numpy as jnp
 
 from ..grid import Grid
 from ..state import FieldState
-from .fields import HI, INT, INTH, LO, LOH, _sl3
+from .fields import HI, INT, INTH, LO, LOH, _sl3, _sladd, slset
 
 FOURTH = 0.25
 HALF = 0.5
@@ -115,7 +115,7 @@ def load_interpolator_T(f: FieldState, g: Grid, nvp: int):
     comps = (*quads(f.ex, 1, 2), *quads(f.ey, 2, 0), *quads(f.ez, 0, 1),
              *lin(f.cbx, 0), *lin(f.cby, 1), *lin(f.cbz, 2))
     for c, val in enumerate(comps):
-        full = full.at[c, INT, INT, INT].set(val)
+        full = slset(full, (c, INT, INT, INT), val)
     # Fill periodic ghost columns with their partner's coefficients so the
     # fused push can let particles *reside* in ghost cells between sorts
     # (their deposits are folded back by fold_ghost_acc_T).
@@ -126,12 +126,12 @@ def load_interpolator_T(f: FieldState, g: Grid, nvp: int):
         aa = 3 - ax
         idx = [slice(None)] * 4
         src = [slice(None)] * 4
-        idx[aa] = 0
-        src[aa] = n_ax
-        full = full.at[tuple(idx)].set(full[tuple(src)])
-        idx[aa] = n_ax + 1
-        src[aa] = 1
-        full = full.at[tuple(idx)].set(full[tuple(src)])
+        idx[aa] = slice(0, 1)
+        src[aa] = slice(n_ax, n_ax + 1)
+        full = slset(full, tuple(idx), full[tuple(src)])
+        idx[aa] = slice(n_ax + 1, n_ax + 2)
+        src[aa] = slice(1, 2)
+        full = slset(full, tuple(idx), full[tuple(src)])
     flat = full.reshape(18, g.nv)
     return jnp.pad(flat, ((0, 0), (0, nvp - g.nv)))
 
@@ -166,9 +166,9 @@ def unload_accumulator_T(f: FieldState, acc_T, g: Grid,
                              + e[tuple(s3) + (col0 + 3,)])
         return c * total
 
-    jfx = f.jfx.at[t].add(fold(0, cx, 1, 2))
-    jfy = f.jfy.at[t].add(fold(4, cy, 2, 0))
-    jfz = f.jfz.at[t].add(fold(8, cz, 0, 1))
+    jfx = _sladd(f.jfx, t, fold(0, cx, 1, 2))
+    jfy = _sladd(f.jfy, t, fold(4, cy, 2, 0))
+    jfz = _sladd(f.jfz, t, fold(8, cz, 0, 1))
     return f.replace(jfx=jfx, jfy=jfy, jfz=jfz)
 
 
@@ -201,7 +201,7 @@ def unload_accumulator(f: FieldState, acc, g: Grid) -> FieldState:
         return c * (a[tuple(s0) + (col0,)] + a[tuple(s1) + (col0 + 1,)]
                     + a[tuple(s2) + (col0 + 2,)] + a[tuple(s3) + (col0 + 3,)])
 
-    jfx = f.jfx.at[t].add(fold(0, cx, 1, 2))
-    jfy = f.jfy.at[t].add(fold(4, cy, 2, 0))
-    jfz = f.jfz.at[t].add(fold(8, cz, 0, 1))
+    jfx = _sladd(f.jfx, t, fold(0, cx, 1, 2))
+    jfy = _sladd(f.jfy, t, fold(4, cy, 2, 0))
+    jfz = _sladd(f.jfz, t, fold(8, cz, 0, 1))
     return f.replace(jfx=jfx, jfy=jfy, jfz=jfz)

@@ -415,17 +415,19 @@ def fold_ghost_acc_T(acc_T, g: Grid):
         if g.axis_bc(ax, -1, particles=True) != P_PERIODIC:
             continue
         aa = 3 - ax  # array axis within (12, NZ, NY, NX)
-        lo = jax.lax.index_in_dim(a, 0, aa, keepdims=False)
-        hi = jax.lax.index_in_dim(a, n_ax + 1, aa, keepdims=False)
-        idx = [slice(None)] * 4
-        idx[aa] = n_ax
-        a = a.at[tuple(idx)].add(lo)
-        idx[aa] = 1
-        a = a.at[tuple(idx)].add(hi)
-        idx[aa] = 0
-        a = a.at[tuple(idx)].set(0.0)
-        idx[aa] = n_ax + 1
-        a = a.at[tuple(idx)].set(0.0)
+        lo = jax.lax.index_in_dim(a, 0, aa, keepdims=True)
+        hi = jax.lax.index_in_dim(a, n_ax + 1, aa, keepdims=True)
+
+        def sl(i):
+            s = [slice(None)] * 4
+            s[aa] = slice(i, i + 1)
+            return tuple(s)
+
+        from .fields import slset
+        a = slset(a, sl(n_ax), a[sl(n_ax)] + lo)
+        a = slset(a, sl(1), a[sl(1)] + hi)
+        a = slset(a, sl(0), jnp.zeros_like(lo))
+        a = slset(a, sl(n_ax + 1), jnp.zeros_like(hi))
     nvp = acc_T.shape[1]
     return jnp.pad(a.reshape(12, g.nv), ((0, 0), (0, nvp - g.nv)))
 
