@@ -586,7 +586,8 @@ class Simulation:
         u_collide = self.user_particle_collisions
 
         from .ops import pallas_push as PP
-        use_fused = (PP.supports(g) and not self.emitters
+        max_cap = max((st.params.capacity for st in self.species), default=0)
+        use_fused = (PP.supports(g, max_cap) and not self.emitters
                      and self.user_particle_injection is None
                      if self.use_pallas == "auto" else bool(self.use_pallas))
         sortK = max(1, self.pallas_sort_interval)
@@ -616,9 +617,9 @@ class Simulation:
             if use_fused:
                 # Fused Pallas hot path: one kernel per species fusing
                 # gather + Boris + streak walk + MXU one-hot deposition.
-                nvp = PP._round_up(g.nv, 128)
+                nvp = PP.table_width(g)
                 fcoef_T = I.load_interpolator_T(f, g, nvp)
-                acc_T = jnp.zeros((12, nvp), jnp.float32)
+                acc_T = jnp.zeros((16, nvp), jnp.float32)
                 acc_small = jnp.zeros((g.nv, 12), jnp.float32)
                 for k, spp in enumerate(sp_params):
                     sp = jax.lax.cond(

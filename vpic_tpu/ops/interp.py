@@ -85,10 +85,12 @@ def load_interpolator(f: FieldState, g: Grid):
 
 
 def load_interpolator_T(f: FieldState, g: Grid, nvp: int):
-    """Transposed-layout coefficient table (18, nvp) for the fused Pallas
+    """Transposed-layout coefficient table (24, nvp; rows 0-17 used) for the
+    fused Pallas
     push: voxel index on the TPU lane dimension; built directly (component-
     major stack of flattened planes) so no on-device transpose is needed."""
-    full = jnp.zeros((18, g.NZ, g.NY, g.NX), jnp.float32)
+    # 24 rows (18 used): DMA slices need 8-sublane alignment
+    full = jnp.zeros((24, g.NZ, g.NY, g.NX), jnp.float32)
     t = _sl3(INT, INT, INT)
 
     def quads(a, ax1, ax2):
@@ -132,7 +134,7 @@ def load_interpolator_T(f: FieldState, g: Grid, nvp: int):
         idx[aa] = slice(n_ax + 1, n_ax + 2)
         src[aa] = slice(1, 2)
         full = slset(full, tuple(idx), full[tuple(src)])
-    flat = full.reshape(18, g.nv)
+    flat = full.reshape(24, g.nv)
     return jnp.pad(flat, ((0, 0), (0, nvp - g.nv)))
 
 
@@ -141,7 +143,7 @@ def unload_accumulator_T(f: FieldState, acc_T, g: Grid,
     """unload_accumulator for the transposed (12, nvp) accumulator layout
     (no transpose back needed); ``extra`` optionally adds a standard-layout
     (nv, 12) accumulator (the fused path's outlier contributions)."""
-    a = acc_T[:, :g.nv].reshape(12, g.NZ, g.NY, g.NX)
+    a = acc_T[:12, :g.nv].reshape(12, g.NZ, g.NY, g.NX)
     e = extra.reshape(g.NZ, g.NY, g.NX, 12) if extra is not None else None
     cx = 0.25 * g.rdy * g.rdz / g.dt
     cy = 0.25 * g.rdz * g.rdx / g.dt

@@ -44,7 +44,7 @@ DEF_BLOCK = 1024     # particles per kernel invocation (1-D f32 XLA tile)
 DEF_WINDOW = 1024    # voxel window (lanes); multiple of 128
 
 
-def supports(g: Grid) -> bool:
+def supports(g: Grid, max_capacity: int = 0) -> bool:
     if g.sharded or g.nz != 1:
         return False
     for axis in range(3):
@@ -52,6 +52,12 @@ def supports(g: Grid) -> bool:
             if g.axis_bc(axis, side, particles=True) not in (
                     P_PERIODIC, REFLECT_PARTICLES):
                 return False
+    if max_capacity:
+        # bucket_sort materializes an (N, nv/BUCKET) one-hot; cap its
+        # footprint (a scalable radix sort replaces this later)
+        nb = _round_up(g.nv, BUCKET) // BUCKET + 1
+        if max_capacity * nb * 4 > 256 * 1024 * 1024:
+            return False
     return g.nv >= 256
 
 
@@ -60,6 +66,12 @@ def _round_up(x, m):
 
 
 BUCKET = 128
+
+
+def table_width(g: Grid, window: int = DEF_WINDOW) -> int:
+    """Padded voxel-axis width for the transposed tables (128-lane tiles;
+    at least one full window so the streamed slice stays in bounds)."""
+    return max(_round_up(g.nv, 128), window)
 
 
 def bucket_sort_p(sp: SpeciesState, g: Grid, bucket: int = BUCKET):
@@ -101,21 +113,31 @@ def _kernel(g: Grid, qsp, msp, max_streak, P, V, nvp,
             w_ref, live_ref, tab_ref, acc_in_ref,
             odx_ref, ody_ref, odz_ref, ovox_ref, oux_ref, ouy_ref,
             ouz_ref, oflag_ref, odpx_ref, odpy_ref, odpz_ref,
-            acc_ref, oow_ref):
+            acc_ref, oow_ref, tab_sem, acc_sem, tab_scratch, acc_scratch):
     b = pl.program_id(0)
     w0 = pl.multiple_of(w0_ref[b], 128)
+
+    # Stream this block's (18, V) table window from HBM (the whole table can
+    # exceed VMEM at large grid sizes).
+    tdma = pltpu.make_async_copy(tab_ref.at[:, pl.ds(w0, V)], tab_scratch,
+                                 tab_sem)
+    tdma.start()
 
     qdt_2mc = (qsp * g.dt) / (2.0 * msp * g.cvac)
     cdt_dx = g.cvac * g.dt * g.rdx
     cdt_dy = g.cvac * g.dt * g.rdy
     cdt_dz = g.cvac * g.dt * g.rdz
 
-    # The whole accumulator is a revisited VMEM output: copy the carry-in
-    # on the first block only.
+    # The accumulator lives in HBM (aliased input/output, any grid size);
+    # each block read-modify-writes only its own voxel window, which is safe
+    # because TPU grid steps run sequentially.
     @pl.when(b == 0)
     def _():
-        acc_ref[:, :] = acc_in_ref[:, :]
         oow_ref[0, 0] = 0
+    adma_in = pltpu.make_async_copy(acc_ref.at[:, pl.ds(w0, V)],
+                                    acc_scratch, acc_sem)
+    adma_in.start()
+    tdma.wait()
 
     dx = dx_ref[:]
     dy = dy_ref[:]
@@ -142,7 +164,7 @@ def _kernel(g: Grid, qsp, msp, max_streak, P, V, nvp,
     onehot = jnp.where((lane == local), 1.0, 0.0).astype(jnp.float32)
     oow0 = jnp.zeros((), jnp.int32)
 
-    tab_win = tab_ref[:, pl.ds(w0, V)]                    # (18, V)
+    tab_win = tab_scratch[:, :]                           # (18, V)
     rows = jax.lax.dot_general(
         tab_win, onehot, (((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,
@@ -185,7 +207,7 @@ def _kernel(g: Grid, qsp, msp, max_streak, P, V, nvp,
 
     q0 = jnp.where(safe, qsp * w, 0.0)
     active = safe
-    acc_win = jnp.zeros((12, V), jnp.float32)
+    acc_win = jnp.zeros((16, V), jnp.float32)
     oow = oow0
 
     px, py, pz = dx, dy, dz
@@ -226,7 +248,8 @@ def _kernel(g: Grid, qsp, msp, max_streak, P, V, nvp,
         jxs = quad(qa * sdx, midy, midz)
         jys = quad(qa * sdy, midz, midx)
         jzs = quad(qa * sdz, midx, midy)
-        vals = jnp.stack(jxs + jys + jzs, axis=0)         # (12, P)
+        zero4 = (jnp.zeros_like(sdx),) * 4   # pad to 16 rows (tile align)
+        vals = jnp.stack(jxs + jys + jzs + zero4, axis=0)  # (16, P)
 
         vox_cur = xi + g.NX * (yi + g.NY * 1)
         local = (vox_cur - w0)[:, None]
@@ -309,7 +332,12 @@ def _kernel(g: Grid, qsp, msp, max_streak, P, V, nvp,
             else:
                 pz = jnp.where(flip, -pz, pz)
 
-    acc_ref[:, pl.ds(w0, V)] += acc_win
+    adma_in.wait()
+    acc_scratch[:, :] += acc_win
+    adma_out = pltpu.make_async_copy(acc_scratch,
+                                     acc_ref.at[:, pl.ds(w0, V)], acc_sem)
+    adma_out.start()
+    adma_out.wait()
     oow_ref[0, 0] += oow
 
     odx_ref[:] = jnp.where(safe, px, dx)
@@ -332,7 +360,7 @@ def _run(sp: SpeciesState, fcoef_T, acc_T, g: Grid, qsp, msp,
     N = sp.capacity
     Np = _round_up(N, block)
     nvp = fcoef_T.shape[1]
-    window = min(window, nvp)   # small grids: the whole table is the window
+    window = min(window, nvp)
     nblocks = Np // block
 
     def pad(a, fill=0):
@@ -355,12 +383,15 @@ def _run(sp: SpeciesState, fcoef_T, acc_T, g: Grid, qsp, msp,
         num_scalar_prefetch=1,
         grid=(nblocks,),
         in_specs=[pl.BlockSpec((block,), lambda b, w0: (b,))] * 9
-        + [pl.BlockSpec((18, nvp), lambda b, w0: (0, 0)),
-           pl.BlockSpec((12, nvp), lambda b, w0: (0, 0))],
+        + [pl.BlockSpec(memory_space=pltpu.ANY),
+           pl.BlockSpec(memory_space=pltpu.ANY)],
         out_specs=[pl.BlockSpec((block,), lambda b, w0: (b,))] * 11
-        + [pl.BlockSpec((12, nvp), lambda b, w0: (0, 0)),
+        + [pl.BlockSpec(memory_space=pltpu.ANY),
            pl.BlockSpec((1, 1), lambda b, w0: (0, 0),
                         memory_space=pltpu.SMEM)],
+        scratch_shapes=[pltpu.SemaphoreType.DMA, pltpu.SemaphoreType.DMA,
+                        pltpu.VMEM((24, window), jnp.float32),
+                        pltpu.VMEM((16, window), jnp.float32)],
     )
 
     kernel = functools.partial(_kernel, g, qsp, msp, max_streak, block,
@@ -370,7 +401,7 @@ def _run(sp: SpeciesState, fcoef_T, acc_T, g: Grid, qsp, msp,
                   + [jax.ShapeDtypeStruct((Np,), jnp.float32)] * 3
                   + [jax.ShapeDtypeStruct((Np,), jnp.int32)]
                   + [jax.ShapeDtypeStruct((Np,), jnp.float32)] * 3
-                  + [jax.ShapeDtypeStruct((12, nvp), jnp.float32),
+                  + [jax.ShapeDtypeStruct((16, nvp), jnp.float32),
                      jax.ShapeDtypeStruct((1, 1), jnp.int32)])
     interpret = jax.devices()[0].platform != "tpu"
     outs = pl.pallas_call(
@@ -378,6 +409,7 @@ def _run(sp: SpeciesState, fcoef_T, acc_T, g: Grid, qsp, msp,
         grid_spec=grid_spec,
         out_shape=out_shapes,
         interpret=interpret,
+        input_output_aliases={11: 11},   # acc carry-in aliases acc out
         compiler_params=None if interpret else pltpu.CompilerParams(
             dimension_semantics=("arbitrary",)),
     )(w0, dx, dy, dz, vox, ux, uy, uz, w, live, fcoef_T, acc_T)
@@ -410,7 +442,8 @@ def remap_ghost_voxels(sp: SpeciesState, g: Grid) -> SpeciesState:
 def fold_ghost_acc_T(acc_T, g: Grid):
     """Fold periodic ghost-plane deposits onto their real partner planes
     (the transposed-layout analogue of the accumulator ghost convention)."""
-    a = acc_T[:, :g.nv].reshape(12, g.NZ, g.NY, g.NX)
+    rows = acc_T.shape[0]
+    a = acc_T[:12, :g.nv].reshape(12, g.NZ, g.NY, g.NX)
     for ax, n_ax in enumerate((g.nx, g.ny, g.nz)):
         if g.axis_bc(ax, -1, particles=True) != P_PERIODIC:
             continue
@@ -429,7 +462,8 @@ def fold_ghost_acc_T(acc_T, g: Grid):
         a = slset(a, sl(0), jnp.zeros_like(lo))
         a = slset(a, sl(n_ax + 1), jnp.zeros_like(hi))
     nvp = acc_T.shape[1]
-    return jnp.pad(a.reshape(12, g.nv), ((0, 0), (0, nvp - g.nv)))
+    return jnp.pad(a.reshape(12, g.nv),
+                   ((0, rows - 12), (0, nvp - g.nv)))
 
 
 def _compact(sp: SpeciesState, flags, extra, cap):
@@ -525,9 +559,9 @@ def advance_p_fused(sp: SpeciesState, fcoef, g: Grid, qsp: float, msp: float,
     """Drop-in replacement for ops.push.advance_p (layout conversions at the
     boundary; used by tests -- the deck fast path drives fused_push with
     persistent transposed layouts instead)."""
-    nvp = _round_up(g.nv, 128)
-    fcoef_T = jnp.zeros((18, nvp), jnp.float32).at[:, :g.nv].set(fcoef.T)
-    acc_T = jnp.zeros((12, nvp), jnp.float32).at[:, :g.nv].set(acc.T)
+    nvp = table_width(g, window)
+    fcoef_T = jnp.zeros((24, nvp), jnp.float32).at[:18, :g.nv].set(fcoef.T)
+    acc_T = jnp.zeros((16, nvp), jnp.float32).at[:12, :g.nv].set(acc.T)
     sp = bucket_sort_p(sp, g)
     new_sp, acc_T, oflag, odp, oow = fused_push(sp, fcoef_T, acc_T, g, qsp,
                                                 msp, max_streak, block,
@@ -538,8 +572,8 @@ def advance_p_fused(sp: SpeciesState, fcoef, g: Grid, qsp: float, msp: float,
         max_streak)
     new_sp = remap_ghost_voxels(new_sp, g)
     acc_T = fold_ghost_acc_T(acc_T, g)
-    acc_T = acc_T.at[:, :g.nv].add(acc_small.T)
-    acc_new = acc_T[:, :g.nv].T
+    acc_T = acc_T.at[:12, :g.nv].add(acc_small.T)
+    acc_new = acc_T[:12, :g.nv].T
     pend = jnp.full((sp.capacity,), -1, jnp.int32)
     zeros = jnp.zeros((sp.capacity,), jnp.float32)
     return PushResult(new_sp, acc_new, rhob_flat, pend,
