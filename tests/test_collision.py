@@ -160,3 +160,24 @@ def test_unary_framework():
     e1 = moments(species[0])[1]
     assert uz1 < 0.5 * uz0            # beam scattered
     assert abs(e1 - e0) / e0 < 1e-3   # elastic
+
+
+def test_fluid_collision_models():
+    """hard_sphere_fluid and large_angle_coulomb_fluid unary ops slow a beam
+    against a cold background."""
+    g = grid(dt=0.05)
+    spp = C.SpeciesParams("e", -1.0, 1.0, 4096)
+    key = jax.random.PRNGKey(9)
+    for op in (C.make_hard_sphere_fluid_op(0, spp, n_bg=40.0, radius=0.2,
+                                           m_bg=5.0),
+               C.make_large_angle_coulomb_fluid_op(0, spp, n_bg=40.0,
+                                                   q_bg=1.0, m_bg=5.0,
+                                                   bmax=0.2)):
+        sp = make_species(4096, uth=(0.01, 0.01, 0.01), g=g)
+        sp = sp.replace(uz=sp.uz + 0.4)
+        species = [sp]
+        uz0 = float(jnp.mean(jnp.where(sp.live, sp.uz, 0)))
+        for step in range(12):
+            species, key = op(species, None, g, jnp.int32(step), key)
+        uz1 = float(jnp.mean(jnp.where(species[0].live, species[0].uz, 0)))
+        assert uz1 < 0.9 * uz0

@@ -389,3 +389,80 @@ def make_langevin_op(sp_idx: int, sp: SpeciesParams, kT: float, nu: float,
         return list(species), rng
 
     return op
+
+
+def _fluid_collide(uth_bg, vd, mu_over_mi, mu_over_mbg, angle_fn):
+    """Unary collide callback: sample a background partner from a drifting
+    Maxwellian, scatter the pair elastically, keep only the test particle's
+    update (the background is a fixed fluid, unary.c semantics)."""
+
+    def collide(key, ux, uy, uz, hit):
+        k1, k2, k3 = jax.random.split(key, 3)
+        ub = uth_bg * jax.random.normal(k1, (3,) + ux.shape)
+        urx = ux - (ub[0] + vd[0])
+        ury = uy - (ub[1] + vd[1])
+        urz = uz - (ub[2] + vd[2])
+        ur = jnp.sqrt(urx * urx + ury * ury + urz * urz)
+        cos_t, sin_t = angle_fn(k2, ur)
+        phi = jax.random.uniform(k3, ux.shape, minval=0.0,
+                                 maxval=2.0 * math.pi)
+        ddx, ddy, ddz = _deflect(urx, ury, urz, cos_t, sin_t,
+                                 jnp.cos(phi), jnp.sin(phi))
+        return (jnp.where(hit, ux + mu_over_mi * ddx, ux),
+                jnp.where(hit, uy + mu_over_mi * ddy, uy),
+                jnp.where(hit, uz + mu_over_mi * ddz, uz))
+
+    return collide
+
+
+def make_hard_sphere_fluid_op(sp_idx: int, spp: SpeciesParams,
+                              n_bg: float, radius: float, m_bg: float,
+                              kT_bg: float = 0.0, vd=(0.0, 0.0, 0.0),
+                              interval: int = 1):
+    """hard_sphere fluid model (hard_sphere.c:99-110 + unary framework):
+    test particles scatter off a fixed drifting-Maxwellian hard-sphere
+    background."""
+    mu_i = m_bg / (spp.m + m_bg)       # mu / m_i
+    uth = math.sqrt(kT_bg / m_bg) if kT_bg > 0 else 0.0
+    rate = hard_sphere_fluid_rate(n_bg, radius, vd, kT_bg / m_bg
+                                  if m_bg > 0 else 0.0)
+
+    def angle(key, ur):
+        b2 = jax.random.uniform(key, ur.shape)
+        return 2.0 * b2 - 1.0, 2.0 * jnp.sqrt(jnp.maximum(
+            b2 * (1.0 - b2), 0.0))
+
+    return make_unary_op(sp_idx, rate,
+                         _fluid_collide(uth, vd, mu_i, None, angle),
+                         interval=interval)
+
+
+def make_large_angle_coulomb_fluid_op(sp_idx: int, spp: SpeciesParams,
+                                      n_bg: float, q_bg: float, m_bg: float,
+                                      kT_bg: float = 0.0,
+                                      vd=(0.0, 0.0, 0.0), bmax: float = 1.0,
+                                      eps0: float = 1.0, interval: int = 1):
+    """large_angle_coulomb fluid model (large_angle_coulomb.c + unary
+    framework): Rutherford scattering with impact-parameter cutoff off a
+    fixed background."""
+    mu = spp.m * m_bg / (spp.m + m_bg)
+    mu_i = m_bg / (spp.m + m_bg)
+    pre = abs(spp.q * q_bg) / (4.0 * math.pi * eps0 * mu)
+    uth = math.sqrt(kT_bg / m_bg) if kT_bg > 0 else 0.0
+
+    def rate(ux, uy, uz, g: Grid):
+        urx = ux * g.cvac - vd[0]
+        ury = uy * g.cvac - vd[1]
+        urz = uz * g.cvac - vd[2]
+        ur = jnp.sqrt(urx * urx + ury * ury + urz * urz)
+        return n_bg * math.pi * bmax * bmax * ur
+
+    def angle(key, ur):
+        b = bmax * jnp.sqrt(jax.random.uniform(key, ur.shape))
+        half_b0 = pre / jnp.maximum(ur * ur, 1e-30)
+        t = half_b0 / jnp.maximum(b, 1e-30)
+        return (1.0 - t * t) / (1.0 + t * t), 2.0 * t / (1.0 + t * t)
+
+    return make_unary_op(sp_idx, rate,
+                         _fluid_collide(uth, vd, mu_i, None, angle),
+                         interval=interval)
