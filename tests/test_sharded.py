@@ -121,3 +121,18 @@ def test_pcomm_migration_roundtrip():
     pos = np.array(sorted(pos))
     expect = np.array(sorted([s for s in starts for _ in range(3)]))
     np.testing.assert_allclose(pos, expect, atol=2e-3)
+
+
+def test_sharded_local_bc_axis_matches_single_device():
+    """pec + reflecting walls on a SHARDED axis: only edge shards apply the
+    local BC, interior faces exchange halos -- must track the single-device
+    run (harris decomposed along x, its pec axis)."""
+    kw = dict(nx=8, ny=8, nppc=8, Lx=8.0, Ly=8.0, seed=5, sort_interval=0)
+    sim1 = harris.build(harris.HarrisParams(**kw, topology=(1, 1, 1)))
+    sim2 = harris.build(harris.HarrisParams(**kw, topology=(2, 1, 1)))
+    s1 = run(sim1, 6)
+    s2 = run(sim2, 6)
+    e1 = np.asarray(sim1.energies(s1))
+    e2 = np.asarray(sim2.energies(s2))
+    assert total_np(s1) == total_np(s2)
+    np.testing.assert_allclose(e2, e1, rtol=5e-4, atol=1e-7 * e1.sum())
