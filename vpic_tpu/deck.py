@@ -807,10 +807,14 @@ class Simulation:
         """dump_energies columns (dump.cc:37-77):
         [ex, ey, ez, bx, by, bz, KE_sp0, KE_sp1, ...]"""
         g = self.grid
-        if not g.sharded:
-            return self._energies_local(state.fields, state.species)
-        from .parallel.mesh import make_mesh, shard_reduce_fn
-        mesh = make_mesh(g)
-        fn = shard_reduce_fn(
-            lambda s: self._energies_local(s[0], s[1]), g, mesh)
-        return jax.jit(fn)((state.fields, state.species))
+        fn = getattr(self, "_energies_jit", None)
+        if fn is None:
+            if not g.sharded:
+                fn = jax.jit(lambda s: self._energies_local(s[0], s[1]))
+            else:
+                from .parallel.mesh import make_mesh, shard_reduce_fn
+                mesh = make_mesh(g)
+                fn = jax.jit(shard_reduce_fn(
+                    lambda s: self._energies_local(s[0], s[1]), g, mesh))
+            self._energies_jit = fn
+        return fn((state.fields, state.species))
