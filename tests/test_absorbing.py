@@ -67,3 +67,51 @@ def test_cli_runner(tmp_path):
     assert out.returncode == 0, out.stderr[-500:]
     assert os.path.exists(tmp_path / "en")
     assert os.path.exists(str(tmp_path / "ck") + ".2.npz")
+
+
+def test_cli_py_deck_chunked_checkpoints(tmp_path):
+    """A .py deck through the CLI with a checkpoint interval that does NOT
+    divide the status interval: the gcd-chunked scan loop must still land on
+    every diagnostic step, and restore must realign to the interval grid."""
+    deck = tmp_path / "deck.py"
+    deck.write_text(
+        "import jax\n"
+        "jax.config.update('jax_platforms', 'cpu')\n"
+        "from vpic_tpu.models import weibel\n"
+        "def build():\n"
+        "    sim = weibel.build(weibel.WeibelParams(nx=8, ny=8, nppc=4,\n"
+        "                                           Lx=8.0, Ly=8.0))\n"
+        "    sim.status_interval = 4\n"
+        "    sim.num_step = 13\n"
+        "    return sim\n")
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "cpu"
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    out = subprocess.run(
+        [sys.executable, "-m", "vpic_tpu", str(deck),
+         "--energies", str(tmp_path / "en"),
+         "--checkpt", str(tmp_path / "ck") + ":6"],
+        capture_output=True, text=True, cwd=repo, env=env)
+    assert out.returncode == 0, out.stderr[-800:]
+    # gcd(4, 6) = 2: both the step-4 dumps and step-6/12 checkpoints fire
+    assert os.path.exists(str(tmp_path / "ck") + ".6.npz")
+    assert os.path.exists(str(tmp_path / "ck") + ".12.npz")
+    rows = [l.split() for l in open(tmp_path / "en")
+            if not l.startswith("%")]
+    assert [int(r[0]) for r in rows] == [0, 4, 8, 12]
+    # restore mid-interval (step 6): next dump must realign to step 8
+    out = subprocess.run(
+        [sys.executable, "-m", "vpic_tpu", str(deck),
+         "--restore", str(tmp_path / "ck") + ".6",
+         "--energies", str(tmp_path / "en2")],
+        capture_output=True, text=True, cwd=repo, env=env)
+    assert out.returncode == 0, out.stderr[-800:]
+    rows2 = [l.split() for l in open(tmp_path / "en2")
+             if not l.startswith("%")]
+    assert [int(r[0]) for r in rows2] == [6, 8, 12]
+    # physics identical across the restart (same jitted advance)
+    full = {int(r[0]): [float(v) for v in r[1:]] for r in rows}
+    for r in rows2:
+        if int(r[0]) in full:
+            np.testing.assert_allclose([float(v) for v in r[1:]],
+                                       full[int(r[0])], rtol=1e-6)

@@ -12,6 +12,7 @@ its Simulation driven by Simulation.run().
 from __future__ import annotations
 
 import argparse
+import importlib
 import importlib.util
 import sys
 
@@ -38,7 +39,6 @@ def main(argv=None):
         mod = importlib.util.module_from_spec(spec)
         spec.loader.exec_module(mod)
     else:
-        import importlib
         mod = importlib.import_module(f"vpic_tpu.models.{args.deck}")
 
     import inspect

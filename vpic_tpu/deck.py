@@ -37,6 +37,12 @@ from .state import (FieldState, MaterialCoeffs, SimState, SpeciesParams,
 everywhere = lambda x, y, z: True
 
 
+def _run_singles(step_fn, state, n):
+    for _ in range(n):
+        state = step_fn(state)
+    return state
+
+
 @dataclass
 class Material:
     name: str
@@ -742,6 +748,20 @@ class Simulation:
         mesh = make_mesh(self.grid)
         return jax.jit(shard_fn(adv, self.grid, mesh))
 
+    def make_multi_step(self, n_sub: int) -> Callable[[SimState], SimState]:
+        """n_sub steps fused into ONE dispatch via lax.scan -- essential when
+        host->device dispatch latency is high (remote/tunneled TPUs)."""
+        adv = self.make_advance()
+        if self.grid.sharded:
+            from .parallel.mesh import make_mesh, shard_fn
+            adv = shard_fn(adv, self.grid, make_mesh(self.grid))
+
+        def many(state):
+            return jax.lax.scan(lambda c, _: (adv(c), None), state, None,
+                                length=n_sub)[0]
+
+        return jax.jit(many)
+
     def run(self, state: SimState = None, num_step: int = None,
             energies_file: str = None, checkpt_base: str = None,
             checkpt_interval: int = 0, quota_s: float = None,
@@ -757,27 +777,37 @@ class Simulation:
 
         if state is None:
             state = self.initialize()
-        step_fn = self.make_step()
         n = num_step if num_step is not None else self.num_step
+        # chunk steps into single dispatches (scan) between diagnostics
+        intervals = [v for v in (self.status_interval, checkpt_interval)
+                     if v]
+        # gcd so the chunked loop lands EXACTLY on every diagnostic step
+        chunk = math.gcd(*intervals, 0) if intervals else min(max(n, 1), 100)
+        step_fn = self.make_step()
+        many_fn = self.make_multi_step(chunk) if chunk > 1 else step_fn
         prof = Profile()
         t0 = _time.time()
         if energies_file:
             _dump.dump_energies(self, state, energies_file, append=False)
         start = int(jnp.max(state.step))
-        for k in range(start, n):
-            with prof.tic("advance"):
-                state = step_fn(state)
-            s = k + 1
-            if self.status_interval and s % self.status_interval == 0:
+        k = start
+        while k < n:
+            # align to the interval grid (restore may start mid-interval)
+            todo = min(chunk - k % chunk, n - k)
+            with prof.tic("advance", todo):
+                state = many_fn(state) if todo == chunk else _run_singles(
+                    step_fn, state, todo)
+            k += todo
+            if self.status_interval and k % self.status_interval == 0:
                 jax.block_until_ready(state.fields.ex)
                 if verbose:
-                    print(f"Completed step {s} of {n}")
+                    print(f"Completed step {k} of {n}")
                     prof.update_profile()
                 if energies_file:
                     with prof.tic("dump_energies"):
                         _dump.dump_energies(self, state, energies_file)
             if checkpt_base and checkpt_interval and \
-                    s % checkpt_interval == 0:
+                    k % checkpt_interval == 0:
                 with prof.tic("checkpt"):
                     _ck.checkpt(state, checkpt_base, sim=self)
             if quota_s is not None and _time.time() - t0 > quota_s:
