@@ -25,17 +25,18 @@ def main():
     p = harris.HarrisParams(nx=64, ny=64, nppc=64)
     sim = harris.build(p)
     state = sim.initialize()
-    adv = jax.jit(sim.make_advance())
+    n_steps = 50
+    # production stepping: the whole measured segment is ONE dispatch
+    # (lax.scan over the advance), as Simulation.run does between diagnostics
+    adv = sim.make_multi_step(n_steps)
 
     # compile + warm up
     state = adv(state)
     jax.block_until_ready(state.fields.ex)
     n_particles = sum(int(s.np) for s in state.species)
 
-    n_steps = 50
     t0 = time.time()
-    for _ in range(n_steps):
-        state = adv(state)
+    state = adv(state)
     jax.block_until_ready(state.fields.ex)
     elapsed = time.time() - t0
 
