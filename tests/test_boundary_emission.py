@@ -94,3 +94,22 @@ def test_child_langmuir_emits():
     assert float(jnp.sum(state.fields.rhob)) > 0.0
     en = np.asarray(sim.energies(state))
     assert np.isfinite(en).all()
+
+
+def test_volume_emitter_emits_everywhere_in_region():
+    """define_volume_emitter (deck/wrapper.h:348-383): all 6 faces of every
+    in-region cell are components; with a uniform field only the aligned
+    faces exceed threshold but emission still happens."""
+    sim = base_sim()
+    spc = sim.define_species("electron", -1.0, 1.0, 16384, -1, 0, 1)
+    sim.set_region_field(lambda x, y, z: True, ex=0.5)
+    region = lambda x, y, z: 0.4 < x < 0.8
+    sim.define_volume_emitter(E.child_langmuir, region, spc,
+                              n_emit_per_face=1, ut_para=0.02,
+                              ut_perp=0.01, thresh_e_norm=1e-6)
+    state = sim.initialize()
+    step = jax.jit(sim.make_advance())
+    state = step(state)
+    assert int(state.species[0].np) > 0
+    en = np.asarray(sim.energies(state))
+    assert np.isfinite(en).all()

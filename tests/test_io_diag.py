@@ -195,3 +195,45 @@ def test_checksum(wrun):
     assert c1 == c2
     c3 = CK.checksum(step(state))
     assert c3 != c1
+
+
+def test_strided_field_hydro_dumps(tmp_path):
+    """New-style stride-subsampled band dumps + global header
+    (dump.cc:518+ dumpParams path)."""
+    from vpic_tpu import dump
+    from vpic_tpu.models import weibel
+    sim = weibel.build(weibel.WeibelParams(nx=8, ny=8, nppc=4,
+                                           Lx=8.0, Ly=8.0))
+    state = sim.initialize()
+    names = dump.dump_fields_strided(sim, state, str(tmp_path / "fd"),
+                                     stride=(2, 2, 1),
+                                     components=["ex", "cbz", "rhof"])
+    hdr = dump._header_v0(sim.grid, 0, dump.DUMP_FIELDS)
+    hdr += dump._array_header(12, [4, 4, 1])
+    raw = open(names[0], "rb").read()
+    body = np.frombuffer(raw[len(hdr):], "<f4").reshape(3, 1, 4, 4)
+    np.testing.assert_array_equal(
+        body[2], np.asarray(state.fields.rhof)[1:2, 1:9:2, 1:9:2])
+    glob = open(str(tmp_path / "fd") + ".0.global").read()
+    assert "stride 2 2 1" in glob and "bands ex cbz rhof" in glob
+
+    hn = dump.dump_hydro_strided(sim, state, "electron",
+                                 str(tmp_path / "hd"), stride=(2, 2, 1))
+    assert len(open(hn[0], "rb").read()) > 0
+
+
+def test_user_global_checkpoint_roundtrip(tmp_path):
+    """The user_global blob (vpic.h:189) survives checkpoint/restore."""
+    from vpic_tpu import checkpoint as ck
+    from vpic_tpu.models import weibel
+    sim = weibel.build(weibel.WeibelParams(nx=8, ny=8, nppc=4,
+                                           Lx=8.0, Ly=8.0))
+    sim.user_global = {"phase": "ramp", "t_switch": 12.5, "hits": [1, 2]}
+    state = sim.initialize()
+    base = ck.checkpt(state, str(tmp_path / "ck"), sim=sim)
+    sim2 = weibel.build(weibel.WeibelParams(nx=8, ny=8, nppc=4,
+                                            Lx=8.0, Ly=8.0))
+    assert sim2.user_global == {}
+    ck.restore(base, sim=sim2)
+    assert sim2.user_global == {"phase": "ramp", "t_switch": 12.5,
+                                "hits": [1, 2]}

@@ -1,0 +1,94 @@
+"""Smoke + physics tests for the remaining sample-deck analogues
+(sample/{dipole, waveguide, emission, shapes})."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from vpic_tpu.models import dipole, emission, shapes, waveguide
+
+
+def run(sim, n, state=None):
+    state = sim.initialize() if state is None else state
+    step = sim.make_step()
+    body = jax.jit(lambda s: jax.lax.fori_loop(0, n, lambda _, c: step(c), s))
+    return body(state)
+
+
+def test_dipole_radiates_into_absorbers():
+    p = dipole.DipoleParams(n=16, L=8.0, omega=2.0)
+    sim = dipole.build(p)
+    state = run(sim, 120)
+    e = np.asarray(sim.energies(state))
+    assert np.isfinite(e).all()
+    fe = e[:6].sum()
+    assert fe > 0.0           # the dipole radiated
+    # absorbing walls bound the energy: keep driving, energy must saturate
+    state2 = run(sim, 120, state)
+    fe2 = np.asarray(sim.energies(state2))[:6].sum()
+    assert fe2 < 4.0 * fe     # bounded, not secular growth
+
+
+def _demod_far(sim, n_settle, periods=3):
+    """Synchronous demodulation of ey at the far end at the drive frequency:
+    rejects the near-cutoff ringing an abrupt turn-on leaves behind."""
+    state = run(sim, n_settle)
+    step = sim.make_step()
+    om, dt = sim.meta["omega"], sim.meta["dt"]
+    n_demod = max(int(periods * 2 * np.pi / (om * dt)), 8)
+    acc = 0.0 + 0.0j
+    ny = state.fields.ez.shape[1] - 2
+    for _ in range(n_demod):
+        state = step(state)
+        t = float(state.step) * dt
+        probe = float(state.fields.ez[1, ny // 2 + 1, 42])
+        acc += probe * np.exp(-1j * om * t)
+    return 2.0 * abs(acc) / n_demod
+
+
+def test_waveguide_cutoff():
+    """TE10 above cutoff reaches the far end; below cutoff is evanescent."""
+    kw = dict(nx=48, ny=8, Lx=12.0, Ly=4.0)   # cutoff = pi/4 ~ 0.785
+
+    sim_hi = waveguide.build(waveguide.WaveguideParams(omega=1.6, **kw))
+    n = int(4.0 * kw["Lx"] / sim_hi.meta["dt"])   # ~4 transits
+    amp_hi = _demod_far(sim_hi, n)
+
+    # long cosine ramp below cutoff: an abrupt turn-on rings the
+    # zero-group-velocity near-cutoff mode the first-order ABC cannot absorb
+    sim_lo = waveguide.build(waveguide.WaveguideParams(omega=0.3,
+                                                       ramp_periods=6.0,
+                                                       **kw))
+    amp_lo = _demod_far(sim_lo, n)
+
+    assert amp_hi > 10 * max(amp_lo, 1e-12)
+    assert amp_hi > 0.02      # a real wave arrived at the drive frequency
+
+
+def test_emission_diode_current():
+    p = emission.EmissionParams(nx=16, ny=4, Lx=0.5, Ly=0.125)
+    sim = emission.build(p)
+    state = sim.initialize()
+    step = sim.make_step()
+    assert int(state.species[0].np) == 0
+    for _ in range(8):
+        state = step(state)
+    n8 = int(state.species[0].np)
+    assert n8 > 0             # cathode is emitting
+    en = np.asarray(sim.energies(state))
+    assert np.isfinite(en).all()
+
+
+def test_shapes_materials_shape_the_wave():
+    p = shapes.ShapesParams(nx=48, ny=8, Lx=12.0, Ly=2.0)
+    sim = shapes.build(p)
+    state = sim.initialize()
+    e0 = np.asarray(sim.energies(state)).sum()
+    # run until the pulse has crossed the dielectric into the conductor
+    state = run(sim, int(1.5 * p.Lx / sim.meta["dt"] / 12) * 12)
+    e1 = np.asarray(sim.energies(state)).sum()
+    assert np.isfinite(e1)
+    assert e1 < 0.5 * e0      # the conductor dissipated the pulse
+    # dielectric materialized: eps differs inside the slab
+    mc = sim._material_coeffs()
+    assert mc is not None

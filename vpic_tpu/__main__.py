@@ -39,7 +39,13 @@ def main(argv=None):
         mod = importlib.util.module_from_spec(spec)
         spec.loader.exec_module(mod)
     else:
-        mod = importlib.import_module(f"vpic_tpu.models.{args.deck}")
+        try:
+            mod = importlib.import_module(f"vpic_tpu.models.{args.deck}")
+        except ModuleNotFoundError:
+            from . import models as _m
+            known = ", ".join(sorted(m for m in dir(_m)
+                                     if not m.startswith("_")))
+            ap.error(f"unknown deck {args.deck!r} (built-ins: {known})")
 
     import inspect
     params = inspect.signature(mod.build).parameters

@@ -59,6 +59,7 @@ def checkpt(state: SimState, fbase: str, tag=None, sim=None) -> str:
                       dt=sim.grid.dt, topology=list(sim.grid.topology),
                       field_bc=list(sim.grid.field_bc),
                       particle_bc=list(sim.grid.particle_bc)),
+            user_global=getattr(sim, "user_global", {}),
         )
         with open(fname + ".json", "w") as fh:
             json.dump(cfg, fh, indent=1)
@@ -81,6 +82,7 @@ def restore(fbase_tag: str, sim=None) -> SimState:
             raise ValueError("checkpoint grid/topology mismatch: "
                              f"{gg} vs {sim.grid}")
         sim.num_step = cfg["num_step"]
+        sim.user_global = cfg.get("user_global", {})
 
     fields = FieldState(**{n: jnp.asarray(data[f"f.{n}"]) for n in _FIELDS})
     species = []

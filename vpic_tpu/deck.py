@@ -105,6 +105,9 @@ class Simulation:
         self._sync_entropy = np.random.RandomState(seed + 0x5EED)
         self._field_init: Optional[FieldState] = None
         self._rank = 0
+        # user-global blob (vpic.h:189 user_global[16384]): arbitrary
+        # JSON-serializable deck state carried through checkpoint/restore
+        self.user_global: dict = {}
 
     # ---------------- units / grid ----------------
 
@@ -180,6 +183,16 @@ class Simulation:
         surface into a static component list and register the emission op."""
         from . import emitter as E
         comps = E.surface_components(self.grid, region)
+        op = emitter_factory(sp.id, sp, comps, **kw)
+        self.emitters.append(op)
+        return op
+
+    def define_volume_emitter(self, emitter_factory, region,
+                              sp: SpeciesParams, **kw):
+        """define_volume_emitter (deck/wrapper.h:348-383): every face of
+        every in-region cell becomes an emission component."""
+        from . import emitter as E
+        comps = E.volume_components(self.grid, region)
         op = emitter_factory(sp.id, sp, comps, **kw)
         self.emitters.append(op)
         return op

@@ -216,3 +216,99 @@ def dump_grid(sim, fbase: str):
         native_io.write_file(name, hdr + body)
         names.append(name)
     return names
+
+
+# ---------------- new-style banded dumps (field_dump/hydro_dump with
+# strides + global header, dump.cc:518+ / dumpmacros.h:43-64) ----------------
+
+FIELD_BANDS = ("ex", "ey", "ez", "div_e_err", "cbx", "cby", "cbz",
+               "div_b_err", "tcax", "tcay", "tcaz", "rhob",
+               "jfx", "jfy", "jfz", "rhof")
+
+
+def dump_fields_strided(sim, state, fbase: str, stride=(1, 1, 1),
+                        components=None, ftag: Optional[int] = None):
+    """New-style stride-subsampled band-sequential field dump (the
+    "dumpParams" field_dump path, dump.cc:518-660): per-rank binary of the
+    selected component bands subsampled over interior voxels
+    [1 : n+1 : stride], plus ONE ``{fbase}.{tag}.global`` text header
+    (the multi-file global header the ParaView/Ensight readers consume)
+    recording topology, strides, band order, and per-rank file names."""
+    g = sim.grid
+    step = int(np.asarray(state.step).max())
+    tag = step if ftag is None else ftag
+    comps = list(components) if components is not None else list(FIELD_BANDS)
+    sx, sy, sz = (int(v) for v in stride)
+    names = []
+    for c in comps:
+        if c not in FIELD_BANDS:
+            raise ValueError(f"unknown field component {c!r}")
+    shard_arrays = {c: list(_shard_iter(g, getattr(state.fields, c)))
+                    for c in comps}
+    shp = None
+    for rank in range(g.n_shards):
+        bands = []
+        for c in comps:
+            a = shard_arrays[c][rank][1][1:g.nz + 1:sz,
+                                         1:g.ny + 1:sy,
+                                         1:g.nx + 1:sx]
+            shp = a.shape
+            bands.append(np.ascontiguousarray(a, "<f4"))
+        hdr = _header_v0(g, step, DUMP_FIELDS, rank=rank)
+        hdr += _array_header(4 * len(comps), [shp[2], shp[1], shp[0]])
+        name = f"{fbase}.{tag}.{rank}"
+        native_io.write_file(name, hdr + b"".join(b.tobytes() for b in bands))
+        names.append(name)
+    with open(f"{fbase}.{tag}.global", "w") as fh:
+        fh.write(f"step {step}\n")
+        fh.write(f"grid {g.nx * g.topology[0]} {g.ny * g.topology[1]} "
+                 f"{g.nz * g.topology[2]}\n")
+        fh.write(f"topology {g.topology[0]} {g.topology[1]} "
+                 f"{g.topology[2]}\n")
+        fh.write(f"stride {sx} {sy} {sz}\n")
+        fh.write(f"local_dims {shp[2]} {shp[1]} {shp[0]}\n")
+        fh.write("bands " + " ".join(comps) + "\n")
+        fh.write("files " + " ".join(names) + "\n")
+    return names
+
+
+def dump_hydro_strided(sim, state, sp_name: str, fbase: str,
+                       stride=(1, 1, 1), ftag: Optional[int] = None):
+    """New-style stride-subsampled band-sequential hydro dump (hydro_dump
+    with dumpParams, dump.cc:662+); bands are the 14 hydro moments."""
+    g = sim.grid
+    step = int(np.asarray(state.step).max())
+    tag = step if ftag is None else ftag
+    k = next(i for i, st in enumerate(sim.species)
+             if st.params.name == sp_name)
+    spp = sim.species[k].params
+    import jax.numpy as jnp
+    fcoef = I.load_interpolator(state.fields, g)
+    hydro = jnp.zeros((g.nv, H.N_HYDRO), jnp.float32)
+    hydro = H.accumulate_hydro_p(hydro, state.species[k], fcoef, g,
+                                 spp.q, spp.m)
+    hydro = H.synchronize_hydro(hydro, g)
+    sx, sy, sz = (int(v) for v in stride)
+    names = []
+    shp = None
+    for rank, local in _shard_iter(g, hydro.reshape(g.shape + (H.N_HYDRO,))
+                                   if not g.sharded else hydro):
+        a = np.asarray(local).reshape(g.NZ, g.NY, g.NX, H.N_HYDRO)
+        a = a[1:g.nz + 1:sz, 1:g.ny + 1:sy, 1:g.nx + 1:sx]
+        shp = a.shape[:3]
+        bands = np.ascontiguousarray(np.moveaxis(a, 3, 0), "<f4")
+        hdr = _header_v0(g, step, DUMP_HYDRO, sp_id=spp.id,
+                         q_m=spp.q / spp.m, rank=rank)
+        hdr += _array_header(4 * H.N_HYDRO, [shp[2], shp[1], shp[0]])
+        name = f"{fbase}.{tag}.{rank}"
+        native_io.write_file(name, hdr + bands.tobytes())
+        names.append(name)
+    with open(f"{fbase}.{tag}.global", "w") as fh:
+        fh.write(f"step {step}\nspecies {sp_name}\n")
+        fh.write(f"topology {g.topology[0]} {g.topology[1]} "
+                 f"{g.topology[2]}\n")
+        fh.write(f"stride {sx} {sy} {sz}\n")
+        fh.write(f"local_dims {shp[2]} {shp[1]} {shp[0]}\n")
+        fh.write(f"bands {H.N_HYDRO}\n")
+        fh.write("files " + " ".join(names) + "\n")
+    return names

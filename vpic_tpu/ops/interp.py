@@ -24,11 +24,12 @@ Accumulator column layout (matches accumulator_t, sf_interface.h:115-131):
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 
 from ..grid import Grid
 from ..state import FieldState
-from .fields import HI, INT, INTH, LO, LOH, _sl3, _sladd, slset
+from .fields import HI, INT, INTH, LO, LOH, _sl3, _sladd
 
 FOURTH = 0.25
 HALF = 0.5
@@ -89,8 +90,7 @@ def load_interpolator_T(f: FieldState, g: Grid, nvp: int):
     fused Pallas
     push: voxel index on the TPU lane dimension; built directly (component-
     major stack of flattened planes) so no on-device transpose is needed."""
-    # 24 rows (18 used): DMA slices need 8-sublane alignment
-    full = jnp.zeros((24, g.NZ, g.NY, g.NX), jnp.float32)
+    # padded to 24 rows (18 used): DMA slices need 8-sublane alignment
     t = _sl3(INT, INT, INT)
 
     def quads(a, ax1, ax2):
@@ -116,26 +116,31 @@ def load_interpolator_T(f: FieldState, g: Grid, nvp: int):
 
     comps = (*quads(f.ex, 1, 2), *quads(f.ey, 2, 0), *quads(f.ez, 0, 1),
              *lin(f.cbx, 0), *lin(f.cby, 1), *lin(f.cbz, 2))
-    for c, val in enumerate(comps):
-        full = slset(full, (c, INT, INT, INT), val)
-    # Fill periodic ghost columns with their partner's coefficients so the
-    # fused push can let particles *reside* in ghost cells between sorts
-    # (their deposits are folded back by fold_ghost_acc_T).
-    from ..grid import PERIODIC, P_PERIODIC
-    for ax, n_ax in ((0, g.nx), (1, g.ny), (2, g.nz)):
-        if g.axis_bc(ax, -1, particles=True) != P_PERIODIC:
-            continue
-        aa = 3 - ax
-        idx = [slice(None)] * 4
-        src = [slice(None)] * 4
-        idx[aa] = slice(0, 1)
-        src[aa] = slice(n_ax, n_ax + 1)
-        full = slset(full, tuple(idx), full[tuple(src)])
-        idx[aa] = slice(n_ax + 1, n_ax + 2)
-        src[aa] = slice(1, 2)
-        full = slset(full, tuple(idx), full[tuple(src)])
-    flat = full.reshape(24, g.nv)
-    return jnp.pad(flat, ((0, 0), (0, nvp - g.nv)))
+    # Add ghost layers per axis: periodic axes WRAP (so the fused push can
+    # let particles *reside* in ghost cells between sorts; their deposits are
+    # folded back by fold_ghost_acc_T), others zero.  Pure pad/concat + one
+    # stack -- no incremental full-array updates (those cost ~2 ms/step).
+    from ..grid import P_PERIODIC
+    periodic = [g.axis_bc(ax, -1, particles=True) == P_PERIODIC
+                for ax in (0, 1, 2)]
+
+    def expand(a):
+        for ax in (0, 1, 2):            # grid x, y, z -> array axes 2, 1, 0
+            aa = 2 - ax
+            if periodic[ax]:
+                lo = jax.lax.slice_in_dim(a, a.shape[aa] - 1, a.shape[aa],
+                                          axis=aa)
+                hi = jax.lax.slice_in_dim(a, 0, 1, axis=aa)
+                a = jnp.concatenate([lo, a, hi], axis=aa)
+            else:
+                pw = [(0, 0)] * 3
+                pw[aa] = (1, 1)
+                a = jnp.pad(a, pw)
+        return a
+
+    full = jnp.stack([expand(c) for c in comps])      # (18, NZ, NY, NX)
+    flat = full.reshape(18, g.nv)
+    return jnp.pad(flat, ((0, 6), (0, nvp - g.nv)))
 
 
 def unload_accumulator_T(f: FieldState, acc_T, g: Grid,
