@@ -649,14 +649,11 @@ class Simulation:
                     sp, acc_T, oflag, odp, _ = PP.fused_push(
                         sp, fcoef_T, acc_T, g, spp.q, spp.m,
                         max_streak=self.max_streak)
-                    # outlier lanes are rare; skip the pass when none exist
-                    sp, acc_small, rhob = jax.lax.cond(
-                        jnp.any(oflag > 0),
-                        lambda a: PP.outlier_pass(
-                            a[0], a[1], a[4], fcoef_T, g, spp.q, spp.m,
-                            a[2], a[3], self.max_streak),
-                        lambda a: (a[0], a[2], a[3]),
-                        (sp, oflag, acc_small, rhob, odp))
+                    # outlier lanes are rare; each class self-gates on a
+                    # lax.cond inside outlier_pass
+                    sp, acc_small, rhob = PP.outlier_pass(
+                        sp, oflag, odp, fcoef_T, g, spp.q, spp.m,
+                        acc_small, rhob, self.max_streak)
                     species[k] = sp
                 acc_T = PP.fold_ghost_acc_T(acc_T, g)
                 f = F.clear_jf(f)

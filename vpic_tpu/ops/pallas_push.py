@@ -14,9 +14,13 @@ gather/scatter path in ops/push.py:
 * Field gather and current scatter both become MXU one-hot matmuls inside
   the window: rows(18,P) = table[:, w0:w0+V] @ onehot(P,V)^T and
   acc[:, w0:w0+V] += vals(12,P) @ onehot(P,V).  One-hot entries are exact
-  in f32 and the matmuls run at HIGHEST precision, so deposition is exactly
-  the ACCUMULATE_J arithmetic -- conflict-free by construction, which is
-  what the reference buys with per-thread accumulator replicas.
+  in bf16, so each f32 operand is split hi+lo into two bf16 matmuls whose
+  f32-accumulated sum reproduces the f32 product to ~2^-18 relative (vs
+  2^-24 for full f32 at 3x the MXU passes) -- conflict-free deposition by
+  construction, which is what the reference buys with per-thread
+  accumulator replicas.  Streak rounds after the first only run their
+  deposit matmuls when some lane actually crossed a cell boundary
+  (pl.when), so the common straight-line push pays ONE deposit matmul.
 * The 4-round streak walk runs on (P,) VPU vectors inside the kernel with
   periodic / reflecting faces handled as masked lanes.
 
@@ -68,6 +72,30 @@ def _round_up(x, m):
 
 
 BUCKET = 128
+
+
+def _hilo(x):
+    """Split f32 into two bf16 terms: x ~= hi + lo to ~2^-18 relative."""
+    hi = x.astype(jnp.bfloat16)
+    lo = (x - hi.astype(jnp.float32)).astype(jnp.bfloat16)
+    return hi, lo
+
+
+def _hilo_dot(x, oh, dims, terms=2):
+    """Split-matmul of f32 x against an EXACT bf16 one-hot in `terms`
+    full-rate MXU passes (vs 6 for f32 HIGHEST): relative error ~2^-18 at
+    terms=2, ~2^-27 (better than f32) at terms=3."""
+    d = functools.partial(jax.lax.dot_general,
+                          dimension_numbers=(dims, ((), ())),
+                          preferred_element_type=jnp.float32)
+    hi, lo = _hilo(x)
+    out = d(hi, oh)
+    if terms == 3:
+        rem = x - hi.astype(jnp.float32)
+        mid = rem.astype(jnp.bfloat16)
+        out = out + d(mid, oh)
+        lo = (rem - mid.astype(jnp.float32)).astype(jnp.bfloat16)
+    return out + d(lo, oh)
 
 
 def table_width(g: Grid, window: int = DEF_WINDOW) -> int:
@@ -191,14 +219,10 @@ def _kernel(g: Grid, qsp, msp, max_streak, P, V, nvp,
     entry_flag = live & ~safe
     mid_flag = jnp.zeros_like(safe)
     local = jnp.where(safe, loc0, -1)[:, None]
-    onehot = jnp.where((lane == local), 1.0, 0.0).astype(jnp.float32)
-    oow0 = jnp.zeros((), jnp.int32)
+    onehot = (lane == local).astype(jnp.bfloat16)
 
     tab_win = tab_scratch[:, :]                           # (18, V)
-    rows = jax.lax.dot_general(
-        tab_win, onehot, (((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32,
-        precision=jax.lax.Precision.HIGHEST)              # (18, P)
+    rows = _hilo_dot(tab_win, onehot, ((1,), (1,)))       # (18, P)
 
     hax = qdt_2mc * ((rows[0] + dy * rows[1]) + dz * (rows[2] + dy * rows[3]))
     hay = qdt_2mc * ((rows[4] + dz * rows[5]) + dx * (rows[6] + dz * rows[7]))
@@ -237,11 +261,10 @@ def _kernel(g: Grid, qsp, msp, max_streak, P, V, nvp,
 
     q0 = jnp.where(safe, qsp * w, 0.0)
     active = safe
-    acc_win = jnp.zeros((16, V), jnp.float32)
-    oow = oow0
+    adma_in.wait()
 
     px, py, pz = dx, dy, dz
-    for _ in range(max_streak):
+    for round_idx in range(max_streak):
         dirx = jnp.where(dpx > 0, 1.0, -1.0)
         diry = jnp.where(dpy > 0, 1.0, -1.0)
         dirz = jnp.where(dpz > 0, 1.0, -1.0)
@@ -282,14 +305,19 @@ def _kernel(g: Grid, qsp, msp, max_streak, P, V, nvp,
         vals = jnp.stack(jxs + jys + jzs + zero4, axis=0)  # (16, P)
 
         vox_cur = xi + g.NX * (yi + g.NY * 1)
-        local = (vox_cur - w0)[:, None]
-        oh = jnp.where(lane == local, 1.0, 0.0).astype(jnp.float32)
-        oow = oow + jnp.sum(jnp.where(
-            active & ((vox_cur - w0 < 0) | (vox_cur - w0 >= V)), 1, 0))
-        acc_win = acc_win + jax.lax.dot_general(
-            vals, oh, (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-            precision=jax.lax.Precision.HIGHEST)          # (12, V)
+
+        def deposit(vals=vals, vox_cur=vox_cur, active=active):
+            local = (vox_cur - w0)[:, None]
+            oh = (lane == local).astype(jnp.bfloat16)
+            acc_scratch[:, :] += _hilo_dot(vals, oh, ((1,), (0,)))
+            oow_ref[0, 0] += jnp.sum(jnp.where(
+                active & ((vox_cur - w0 < 0) | (vox_cur - w0 >= V)), 1, 0))
+
+        if round_idx == 0:
+            deposit()
+        else:
+            # common case: nobody crossed again -> skip the MXU work
+            pl.when(jnp.any(active))(deposit)
 
         upd = lambda o, n: jnp.where(active, n, o)
         dpx = upd(dpx, dpx - sdx)
@@ -362,13 +390,10 @@ def _kernel(g: Grid, qsp, msp, max_streak, P, V, nvp,
             else:
                 pz = jnp.where(flip, -pz, pz)
 
-    adma_in.wait()
-    acc_scratch[:, :] += acc_win
     adma_out = pltpu.make_async_copy(acc_scratch,
                                      acc_ref.at[:, pl.ds(w0, V)], acc_sem)
     adma_out.start()
     adma_out.wait()
-    oow_ref[0, 0] += oow
 
     odx_ref[:] = jnp.where(safe, px, dx)
     ody_ref[:] = jnp.where(safe, py, dy)
@@ -512,13 +537,22 @@ def _compact(sp: SpeciesState, flags, extra, cap):
 
 
 def _scatter_back(sp: SpeciesState, s2: SpeciesState, idx, valid):
+    # ONE packed row scatter instead of 9 separate scatters (TPU scatters
+    # are latency-bound; rows are contiguous) -- same trick as bucket_sort.
     tgt = jnp.where(valid, idx, sp.capacity)           # OOB -> dropped
-    putf = lambda a, v: a.at[tgt].set(v, mode="drop")
+    fields = ("dx", "dy", "dz", "ux", "uy", "uz", "w")
+    big = jnp.stack([getattr(sp, n) for n in fields]
+                    + [jax.lax.bitcast_convert_type(sp.i, jnp.float32),
+                       sp.live.astype(jnp.float32)], axis=1)
+    small = jnp.stack([getattr(s2, n) for n in fields]
+                      + [jax.lax.bitcast_convert_type(s2.i, jnp.float32),
+                         s2.live.astype(jnp.float32)], axis=1)
+    big = big.at[tgt].set(small, mode="drop")
     return sp.replace(
-        dx=putf(sp.dx, s2.dx), dy=putf(sp.dy, s2.dy), dz=putf(sp.dz, s2.dz),
-        i=putf(sp.i, s2.i), ux=putf(sp.ux, s2.ux), uy=putf(sp.uy, s2.uy),
-        uz=putf(sp.uz, s2.uz), w=putf(sp.w, s2.w),
-        live=putf(sp.live, s2.live))
+        dx=big[:, 0], dy=big[:, 1], dz=big[:, 2],
+        ux=big[:, 3], uy=big[:, 4], uz=big[:, 5], w=big[:, 6],
+        i=jax.lax.bitcast_convert_type(big[:, 7], jnp.int32),
+        live=big[:, 8] > 0.5)
 
 
 def outlier_pass(sp: SpeciesState, oflag, odp, fcoef_T, g: Grid,
@@ -533,35 +567,48 @@ def outlier_pass(sp: SpeciesState, oflag, odp, fcoef_T, g: Grid,
       displacement through the general streak walk (boundary_p-style
       continuation).
 
-    acc_small is a separate (nv, 12) accumulator merged at unload."""
+    acc_small is a separate (nv, 12) accumulator merged at unload.
+    Each class runs under its own lax.cond so a step with (say) only
+    ghost-exit continuations never pays for the full-redo branch."""
     from .push import DONE, advance_p, streak_walk
     N = sp.capacity
-    cap = cap or max(256, N // 64)
+    cap = cap or max(1024, N // 128)
 
-    # --- class 1: full redo ---
-    small, _, idx, valid = _compact(sp, oflag == 1, (), cap)
-    small = remap_ghost_voxels(small, g)
-    rows = fcoef_T[:, small.i].T                       # (cap, 18)
-    res = advance_p(small, None, g, qsp, msp, acc_small, rhob_flat,
-                    max_streak=max_streak, rows=rows)
-    sp = _scatter_back(sp, res.species, idx, valid)
-    acc_small, rhob_flat = res.acc, res.rhob_flat
+    def class1(args):
+        sp, acc_small, rhob_flat = args
+        small, _, idx, valid = _compact(sp, oflag == 1, (), cap)
+        small = remap_ghost_voxels(small, g)
+        rows = fcoef_T[:, small.i].T                   # (cap, 18)
+        res = advance_p(small, None, g, qsp, msp, acc_small, rhob_flat,
+                        max_streak=max_streak, rows=rows)
+        sp = _scatter_back(sp, res.species, idx, valid)
+        return sp, res.acc, res.rhob_flat
 
-    # --- class 2: continuation of remaining displacement ---
-    small, (cdx, cdy, cdz), idx, valid = _compact(
-        sp, oflag == 2, (odp[0], odp[1], odp[2]), cap)
-    small = remap_ghost_voxels(small, g)
-    zi, r = jnp.divmod(small.i, g.sz)
-    yi, xi = jnp.divmod(r, g.sy)
-    pend0 = jnp.full((cap,), DONE, jnp.int32)
-    (pos, disp, coords, u, alive, pend, acc_small, rhob_flat) = streak_walk(
-        g, qsp, small.w, (small.dx, small.dy, small.dz), (cdx, cdy, cdz),
-        (xi, yi, zi), (small.ux, small.uy, small.uz),
-        small.live, small.live, pend0, acc_small, rhob_flat, max_streak)
-    s2 = small.replace(dx=pos[0], dy=pos[1], dz=pos[2],
-                       i=coords[0] + g.NX * (coords[1] + g.NY * coords[2]),
-                       ux=u[0], uy=u[1], uz=u[2], live=alive)
-    sp = _scatter_back(sp, s2, idx, valid)
+    sp, acc_small, rhob_flat = jax.lax.cond(
+        jnp.any(oflag == 1), class1, lambda a: a, (sp, acc_small, rhob_flat))
+
+    def class2(args):
+        sp, acc_small, rhob_flat = args
+        small, (cdx, cdy, cdz), idx, valid = _compact(
+            sp, oflag == 2, (odp[0], odp[1], odp[2]), cap)
+        small = remap_ghost_voxels(small, g)
+        zi, r = jnp.divmod(small.i, g.sz)
+        yi, xi = jnp.divmod(r, g.sy)
+        pend0 = jnp.full((cap,), DONE, jnp.int32)
+        (pos, disp, coords, u, alive, pend, acc_small,
+         rhob_flat) = streak_walk(
+            g, qsp, small.w, (small.dx, small.dy, small.dz), (cdx, cdy, cdz),
+            (xi, yi, zi), (small.ux, small.uy, small.uz),
+            small.live, small.live, pend0, acc_small, rhob_flat, max_streak)
+        s2 = small.replace(dx=pos[0], dy=pos[1], dz=pos[2],
+                           i=coords[0] + g.NX * (coords[1]
+                                                 + g.NY * coords[2]),
+                           ux=u[0], uy=u[1], uz=u[2], live=alive)
+        sp = _scatter_back(sp, s2, idx, valid)
+        return sp, acc_small, rhob_flat
+
+    sp, acc_small, rhob_flat = jax.lax.cond(
+        jnp.any(oflag == 2), class2, lambda a: a, (sp, acc_small, rhob_flat))
     return sp, acc_small, rhob_flat
 
 
