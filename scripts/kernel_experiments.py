@@ -47,7 +47,7 @@ def main():
         mod._run.clear_cache()
         push = jax.jit(lambda s, fc, a: mod.fused_push(
             s, fc, a, g, spp.q, spp.m))
-        t, (sp2, acc_T, oflag, odp, oow) = timeit(push, sp_s, fcoef_T, acc_T0)
+        t, (sp2, acc_T, oflag, oow) = timeit(push, sp_s, fcoef_T, acc_T0)
         print(f"{tag:40s} {t:8.3f} ms  outliers={int(jnp.sum(oflag > 0))}"
               f" acc_sum={float(jnp.abs(acc_T).sum()):.6e}")
         return acc_T

@@ -59,15 +59,15 @@ def main():
 
     acc_T0 = jnp.zeros((16, nvp), jnp.float32)
     push = jax.jit(lambda s, fc, a: PP.fused_push(s, fc, a, g, spp.q, spp.m))
-    t, (sp2, acc_T, oflag, odp, oow) = timeit(push, sp_s, fcoef_T, acc_T0)
+    t, (sp2, acc_T, oflag, oow) = timeit(push, sp_s, fcoef_T, acc_T0)
     nfl = int(jnp.sum(oflag > 0))
     print(f"fused_push               {t:8.3f} ms   (outliers={nfl}, oow={int(oow)})")
 
     acc_small0 = jnp.zeros((g.nv, 12), jnp.float32)
     rhob0 = f.rhob.reshape(-1)
-    outl = jax.jit(lambda s, fl, dp, a, r: PP.outlier_pass(
-        s, fl, dp, fcoef_T, g, spp.q, spp.m, a, r))
-    t, _ = timeit(outl, sp2, oflag, odp, acc_small0, rhob0)
+    outl = jax.jit(lambda s, fl, a, r: PP.outlier_pass(
+        s, fl, fcoef_T, g, spp.q, spp.m, a, r))
+    t, _ = timeit(outl, sp2, oflag, acc_small0, rhob0)
     print(f"outlier_pass (forced)    {t:8.3f} ms")
 
     fold = jax.jit(lambda a: PP.fold_ghost_acc_T(a, g))

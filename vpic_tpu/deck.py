@@ -92,7 +92,7 @@ class Simulation:
         # (single shard, nz == 1, periodic/reflect particle BCs only,
         # no runtime injection); sort staleness bounded by the window.
         self.use_pallas = "auto"
-        self.pallas_sort_interval = 3
+        self.pallas_sort_interval = 4
         # User hooks (deck sections): callables state -> state pieces.
         self.user_field_injection = None      # (FieldState, step) -> FieldState
         self.user_current_injection = None    # (FieldState, step) -> FieldState
@@ -646,13 +646,12 @@ class Simulation:
                         lambda s: PP.bucket_sort_p(
                             PP.remap_ghost_voxels(s, g), g),
                         lambda s: s, species[k])
-                    sp, acc_T, oflag, odp, _ = PP.fused_push(
+                    sp, acc_T, oflag, _ = PP.fused_push(
                         sp, fcoef_T, acc_T, g, spp.q, spp.m,
                         max_streak=self.max_streak)
-                    # outlier lanes are rare; each class self-gates on a
-                    # lax.cond inside outlier_pass
+                    # stale-sort outliers are rare; self-gates on a lax.cond
                     sp, acc_small, rhob = PP.outlier_pass(
-                        sp, oflag, odp, fcoef_T, g, spp.q, spp.m,
+                        sp, oflag, fcoef_T, g, spp.q, spp.m,
                         acc_small, rhob, self.max_streak)
                     species[k] = sp
                 acc_T = PP.fold_ghost_acc_T(acc_T, g)

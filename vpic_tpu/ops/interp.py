@@ -140,7 +140,14 @@ def load_interpolator_T(f: FieldState, g: Grid, nvp: int):
 
     full = jnp.stack([expand(c) for c in comps])      # (18, NZ, NY, NX)
     flat = full.reshape(18, g.nv)
-    return jnp.pad(flat, ((0, 6), (0, nvp - g.nv)))
+    out = jnp.pad(flat, ((0, 6), (0, nvp - g.nv)))
+    if g.nz == 1 and periodic[1]:
+        # Unwrapped-y scheme (see ops/pallas_push.py): the z=0 / z=2 plane
+        # thirds hold periodic y-image copies of the z=1 plane so walks can
+        # continue past the y ghost layer without leaving the window.
+        from .pallas_push import expand_y_images_T
+        out = expand_y_images_T(out, g)
+    return out
 
 
 def unload_accumulator_T(f: FieldState, acc_T, g: Grid,

@@ -23,10 +23,17 @@ gather/scatter path in ops/push.py:
   (pl.when), so the common straight-line push pays ONE deposit matmul.
 * The 4-round streak walk runs on (P,) VPU vectors inside the kernel with
   periodic / reflecting faces handled as masked lanes.
+* Periodic faces never leave the window (nz == 1): x exits re-map in-kernel
+  (a +-nx linear jump); y walks UNWRAPPED -- since particles only ever
+  occupy the z=1 plane third of the linear index space, the z=0 / z=2
+  thirds hold periodic y-IMAGE columns (rows y_u = r - NY and r + NY), so
+  a walk past the y ghost layer just flows into the adjacent third.
+  fold_ghost_acc_T folds image deposits onto their canonical rows and
+  remap_ghost_voxels decodes image residents (at sort time).
 
 Scope guard (falls back to ops/push.advance_p otherwise): single shard,
 nz == 1 (linear-index windows only work when crossings move the voxel by
-+-1 or +-NX), no absorbing/custom particle BCs.
++-1 or +-NX), paired periodic faces, no absorbing/custom particle BCs.
 """
 
 from __future__ import annotations
@@ -56,6 +63,11 @@ def supports(g: Grid, max_capacity: int = 0) -> bool:
             if g.axis_bc(axis, side, particles=True) not in (
                     P_PERIODIC, REFLECT_PARTICLES):
                 return False
+        # periodic must pair up (the in-kernel wrap / unwrapped-y image
+        # schemes assume a periodic partner face)
+        if ((g.axis_bc(axis, -1, particles=True) == P_PERIODIC)
+                != (g.axis_bc(axis, 1, particles=True) == P_PERIODIC)):
+            return False
     if max_capacity:
         # bucket_sort materializes an (N, nv/BUCKET) one-hot; cap its HBM
         # footprint (a scalable radix sort replaces this later).  The fused
@@ -170,7 +182,7 @@ def _kernel(g: Grid, qsp, msp, max_streak, P, V, nvp,
             dx_ref, dy_ref, dz_ref, vox_ref, ux_ref, uy_ref, uz_ref,
             w_ref, live_ref, tab_ref, acc_in_ref,
             odx_ref, ody_ref, odz_ref, ovox_ref, oux_ref, ouy_ref,
-            ouz_ref, oflag_ref, odpx_ref, odpy_ref, odpz_ref,
+            ouz_ref, oflag_ref,
             acc_ref, oow_ref, tab_sem, acc_sem, tab_scratch, acc_scratch):
     b = pl.program_id(0)
     w0 = pl.multiple_of(w0_ref[b], 128)
@@ -209,15 +221,15 @@ def _kernel(g: Grid, qsp, msp, max_streak, P, V, nvp,
 
     lane = jax.lax.broadcasted_iota(jnp.int32, (P, V), 1)
     # Entry guard: a lane whose voxel cannot stay inside the window for the
-    # whole walk (crossings move the linear index by at most NX+1) is FROZEN
-    # (state passes through untouched) and flagged for the caller's compact
-    # XLA outlier pass -- stale-sort drift and periodic wrap-around both
-    # land here, so the fused path stays exact at any sort interval.
-    GUARD = g.NX + 2
+    # whole walk is FROZEN (state passes through untouched) and flagged for
+    # the caller's compact XLA outlier pass -- stale-sort drift lands here,
+    # so the fused path stays exact at any sort interval.  One step moves
+    # the (unwrapped) linear index by at most NX (y crossing) + nx (x
+    # periodic re-map) + 1, hence GUARD = 2*NX.
+    GUARD = 2 * g.NX
     loc0 = vox - w0
     safe = live & (loc0 >= GUARD) & (loc0 < V - GUARD)
     entry_flag = live & ~safe
-    mid_flag = jnp.zeros_like(safe)
     local = jnp.where(safe, loc0, -1)[:, None]
     onehot = (lane == local).astype(jnp.bfloat16)
 
@@ -255,8 +267,11 @@ def _kernel(g: Grid, qsp, msp, max_streak, P, V, nvp,
     dpy = uy * cdt_dy * rg
     dpz = uz * cdt_dz * rg
 
-    # decode voxel coords (nz == 1: zi fixed at 1)
-    yi = vox // g.NX - g.NY * (vox // (g.NX * g.NY))
+    # Decode voxel coords (nz == 1: z pinned at plane 1).  yi is UNWRAPPED:
+    # residents of the y-image ranges (see module docstring) decode to
+    # yi < 0 / yi >= NY and vox_cur = xi + NX*(yi + NY) puts them right
+    # back; canonical plane-1 voxels give the usual yi in [0, NY).
+    yi = vox // g.NX - g.NY
     xi = vox - g.NX * (vox // g.NX)
 
     q0 = jnp.where(safe, qsp * w, 0.0)
@@ -341,10 +356,17 @@ def _kernel(g: Grid, qsp, msp, max_streak, P, V, nvp,
             else:
                 pz = pn
 
-        # Periodic faces: the crosser walks INTO the ghost cell (its linear
-        # voxel moves by only +-1 / +-NX, staying in the window); the caller
-        # folds ghost accumulator planes onto their periodic partners and
-        # remaps the voxel afterwards.  Reflecting faces bounce in place.
+        # Face handling (all in-kernel; no mid-walk freezes):
+        #  x periodic: crossers walk into the ghost column; leaving the ghost
+        #    layer re-maps to the canonical column (a +-nx linear jump --
+        #    inside the window, GUARD covers it).
+        #  y periodic (nz == 1): the walk continues UNWRAPPED -- yi beyond
+        #    [0, NY) indexes the y-image column ranges that occupy the
+        #    otherwise-unused z=0 / z=2 plane thirds of the table and
+        #    accumulator (fold_ghost_acc_T folds them back).
+        #  z (nz == 1) periodic: ghost cell IS the real cell, wrap in place.
+        #  Reflecting faces bounce in place.
+        BIG_LIM = 1 << 29
         for ax in range(3):
             m = crossing & (axis == ax)
             n_ax = (g.nx, g.ny, g.nz)[ax]
@@ -353,8 +375,13 @@ def _kernel(g: Grid, qsp, msp, max_streak, P, V, nvp,
             newc = coord + jnp.where(d > 0, 1, -1)
             lo_bc = g.axis_bc(ax, -1, particles=True)
             hi_bc = g.axis_bc(ax, 1, particles=True)
-            lo_lim = 0 if lo_bc == P_PERIODIC else 1
-            hi_lim = n_ax + 1 if hi_bc == P_PERIODIC else n_ax
+            if ax == 1:
+                # unwrapped y: periodic sides have no limit at all
+                lo_lim = -BIG_LIM if lo_bc == P_PERIODIC else 1
+                hi_lim = BIG_LIM if hi_bc == P_PERIODIC else n_ax
+            else:
+                lo_lim = 0 if lo_bc == P_PERIODIC else 1
+                hi_lim = n_ax + 1 if hi_bc == P_PERIODIC else n_ax
             out_lo = m & (newc < lo_lim)
             out_hi = m & (newc > hi_lim)
             inside = m & ~out_lo & ~out_hi
@@ -363,14 +390,11 @@ def _kernel(g: Grid, qsp, msp, max_streak, P, V, nvp,
             for side, om in ((-1, out_lo), (1, out_hi)):
                 bc = g.axis_bc(ax, side, particles=True)
                 if bc == P_PERIODIC:
-                    # Ghost-resident particle leaving the single ghost layer:
-                    # in canonical coordinates this is a normal interior move
-                    # whose voxel jumps out of the window, so freeze the lane
-                    # here and flag it (class 2): the caller's compact pass
-                    # remaps the voxel and continues the remaining
-                    # displacement through the general streak walk.
-                    mid_flag = mid_flag | om
-                    active = active & ~om
+                    # reachable only for ax == 0 (x ghost-layer exit):
+                    # re-map to the canonical column and keep walking
+                    coord = jnp.where(om, newc + (n_ax if side < 0
+                                                  else -n_ax), coord)
+                    flip = flip | om
                 else:   # reflect (guarded by supports())
                     if ax == 0:
                         ux = jnp.where(om, -ux, ux)
@@ -402,10 +426,7 @@ def _kernel(g: Grid, qsp, msp, max_streak, P, V, nvp,
     oux_ref[:] = jnp.where(safe, ux, ux_ref[:])
     ouy_ref[:] = jnp.where(safe, uy, uy_ref[:])
     ouz_ref[:] = jnp.where(safe, uz, uz_ref[:])
-    oflag_ref[:] = jnp.where(entry_flag, 1, jnp.where(mid_flag, 2, 0))
-    odpx_ref[:] = dpx
-    odpy_ref[:] = dpy
-    odpz_ref[:] = dpz
+    oflag_ref[:] = jnp.where(entry_flag, 1, 0)
 
 
 @functools.partial(jax.jit, static_argnames=("g", "qsp", "msp", "max_streak",
@@ -440,7 +461,7 @@ def _run(sp: SpeciesState, fcoef_T, acc_T, g: Grid, qsp, msp,
         in_specs=[pl.BlockSpec((block,), lambda b, w0: (b,))] * 9
         + [pl.BlockSpec(memory_space=pltpu.ANY),
            pl.BlockSpec(memory_space=pltpu.ANY)],
-        out_specs=[pl.BlockSpec((block,), lambda b, w0: (b,))] * 11
+        out_specs=[pl.BlockSpec((block,), lambda b, w0: (b,))] * 8
         + [pl.BlockSpec(memory_space=pltpu.ANY),
            pl.BlockSpec((1, 1), lambda b, w0: (0, 0),
                         memory_space=pltpu.SMEM)],
@@ -455,7 +476,6 @@ def _run(sp: SpeciesState, fcoef_T, acc_T, g: Grid, qsp, msp,
                   + [jax.ShapeDtypeStruct((Np,), jnp.int32)]
                   + [jax.ShapeDtypeStruct((Np,), jnp.float32)] * 3
                   + [jax.ShapeDtypeStruct((Np,), jnp.int32)]
-                  + [jax.ShapeDtypeStruct((Np,), jnp.float32)] * 3
                   + [jax.ShapeDtypeStruct((16, nvp), jnp.float32),
                      jax.ShapeDtypeStruct((1, 1), jnp.int32)])
     interpret = jax.devices()[0].platform != "tpu"
@@ -464,29 +484,40 @@ def _run(sp: SpeciesState, fcoef_T, acc_T, g: Grid, qsp, msp,
         grid_spec=grid_spec,
         out_shape=out_shapes,
         interpret=interpret,
-        input_output_aliases={11: 11},   # acc carry-in aliases acc out
+        input_output_aliases={11: 8},    # acc carry-in aliases acc out
         compiler_params=None if interpret else pltpu.CompilerParams(
             dimension_semantics=("arbitrary",)),
     )(w0, dx, dy, dz, vox, ux, uy, uz, w, live, fcoef_T, acc_T)
 
-    (odx, ody, odz, ovox, oux, ouy, ouz, oflag, odpx, odpy, odpz,
-     acc_out, oow) = outs
+    (odx, ody, odz, ovox, oux, ouy, ouz, oflag, acc_out, oow) = outs
     new_sp = sp.replace(dx=odx[:N], dy=ody[:N], dz=odz[:N],
                         i=jnp.where(sp.live, ovox[:N], sp.i),
                         ux=oux[:N], uy=ouy[:N], uz=ouz[:N])
-    return (new_sp, acc_out, oflag[:N],
-            (odpx[:N], odpy[:N], odpz[:N]), oow[0, 0])
+    return new_sp, acc_out, oflag[:N], oow[0, 0]
+
+
+def _y_unwrapped(g: Grid) -> bool:
+    """Does the fused path run the unwrapped-y scheme (periodic y images in
+    the z=0/z=2 plane thirds)?  Only meaningful when supports(g)."""
+    return g.nz == 1 and g.axis_bc(1, -1, particles=True) == P_PERIODIC
 
 
 def remap_ghost_voxels(sp: SpeciesState, g: Grid) -> SpeciesState:
-    """Wrap periodic ghost-resident voxels back to their real cells (the
-    kernel lets crossers walk into ghost cells; see kernel comment)."""
+    """Map fused-path voxel indices back to canonical interior cells: wraps
+    periodic ghost residents, and (nz==1, periodic y) decodes unwrapped-y
+    image residents from the z=0 / z=2 plane thirds."""
     zi, r = jnp.divmod(sp.i, g.sz)
     yi, xi = jnp.divmod(r, g.sy)
+    if _y_unwrapped(g):
+        yu = yi + (zi - 1) * g.NY       # unwrapped y in [-NY, 2*NY)
+        yi = (yu - 1) % g.ny + 1
+        zi = jnp.ones_like(zi)
     coords = [xi, yi, zi]
     for ax, n_ax in enumerate((g.nx, g.ny, g.nz)):
         if g.axis_bc(ax, -1, particles=True) != P_PERIODIC:
             continue
+        if ax == 1 and _y_unwrapped(g):
+            continue                    # already canonical via the mod
         c = coords[ax]
         c = jnp.where(c == 0, n_ax, c)
         coords[ax] = jnp.where(c == n_ax + 1, 1, c)
@@ -496,9 +527,22 @@ def remap_ghost_voxels(sp: SpeciesState, g: Grid) -> SpeciesState:
 
 def fold_ghost_acc_T(acc_T, g: Grid):
     """Fold periodic ghost-plane deposits onto their real partner planes
-    (the transposed-layout analogue of the accumulator ghost convention)."""
+    (the transposed-layout analogue of the accumulator ghost convention).
+    Under the unwrapped-y scheme, first fold the y-image plane thirds
+    (deposits from walks that continued past the y ghost layer) onto their
+    canonical plane-1 rows."""
+    import numpy as np
     rows = acc_T.shape[0]
     a = acc_T[:12, :g.nv].reshape(12, g.NZ, g.NY, g.NX)
+    if _y_unwrapped(g):
+        r = np.arange(g.NY)
+        m0 = (r - 3) % g.ny + 1         # plane-0 row r holds y_u = r - NY
+        m2 = (r + 1) % g.ny + 1         # plane-2 row r holds y_u = r + NY
+        p1 = a[:, 1]
+        p1 = p1.at[:, m0, :].add(a[:, 0])
+        p1 = p1.at[:, m2, :].add(a[:, 2])
+        z = jnp.zeros_like(p1)
+        a = jnp.stack([z, p1, z], axis=1)
     for ax, n_ax in enumerate((g.nx, g.ny, g.nz)):
         if g.axis_bc(ax, -1, particles=True) != P_PERIODIC:
             continue
@@ -555,26 +599,20 @@ def _scatter_back(sp: SpeciesState, s2: SpeciesState, idx, valid):
         live=big[:, 8] > 0.5)
 
 
-def outlier_pass(sp: SpeciesState, oflag, odp, fcoef_T, g: Grid,
+def outlier_pass(sp: SpeciesState, oflag, fcoef_T, g: Grid,
                  qsp: float, msp: float, acc_small, rhob_flat,
                  max_streak: int = 4, cap: int = 0):
-    """Handle kernel-flagged outlier lanes on compacted fixed-size buffers:
-
-    class 1 (entry guard: stale-sort drift): the kernel skipped the lane
-      entirely -> redo the full push through the general XLA advance_p;
-    class 2 (mid-walk chart exit): the lane advanced and deposited up to the
-      ghost-layer boundary -> remap the voxel and continue the remaining
-      displacement through the general streak walk (boundary_p-style
-      continuation).
-
-    acc_small is a separate (nv, 12) accumulator merged at unload.
-    Each class runs under its own lax.cond so a step with (say) only
-    ghost-exit continuations never pays for the full-redo branch."""
-    from .push import DONE, advance_p, streak_walk
+    """Redo entry-guard-flagged lanes (stale-sort drift: the kernel skipped
+    them untouched) through the general XLA advance_p on a compacted
+    fixed-size buffer, under a lax.cond so the common no-outlier step pays
+    (nearly) nothing.  acc_small is a separate (nv, 12) accumulator merged
+    at unload.  Mid-walk boundary cases no longer exist: periodic x re-maps
+    in-kernel and periodic y walks unwrapped into the image ranges."""
+    from .push import advance_p
     N = sp.capacity
     cap = cap or max(1024, N // 128)
 
-    def class1(args):
+    def redo(args):
         sp, acc_small, rhob_flat = args
         small, _, idx, valid = _compact(sp, oflag == 1, (), cap)
         small = remap_ghost_voxels(small, g)
@@ -584,32 +622,8 @@ def outlier_pass(sp: SpeciesState, oflag, odp, fcoef_T, g: Grid,
         sp = _scatter_back(sp, res.species, idx, valid)
         return sp, res.acc, res.rhob_flat
 
-    sp, acc_small, rhob_flat = jax.lax.cond(
-        jnp.any(oflag == 1), class1, lambda a: a, (sp, acc_small, rhob_flat))
-
-    def class2(args):
-        sp, acc_small, rhob_flat = args
-        small, (cdx, cdy, cdz), idx, valid = _compact(
-            sp, oflag == 2, (odp[0], odp[1], odp[2]), cap)
-        small = remap_ghost_voxels(small, g)
-        zi, r = jnp.divmod(small.i, g.sz)
-        yi, xi = jnp.divmod(r, g.sy)
-        pend0 = jnp.full((cap,), DONE, jnp.int32)
-        (pos, disp, coords, u, alive, pend, acc_small,
-         rhob_flat) = streak_walk(
-            g, qsp, small.w, (small.dx, small.dy, small.dz), (cdx, cdy, cdz),
-            (xi, yi, zi), (small.ux, small.uy, small.uz),
-            small.live, small.live, pend0, acc_small, rhob_flat, max_streak)
-        s2 = small.replace(dx=pos[0], dy=pos[1], dz=pos[2],
-                           i=coords[0] + g.NX * (coords[1]
-                                                 + g.NY * coords[2]),
-                           ux=u[0], uy=u[1], uz=u[2], live=alive)
-        sp = _scatter_back(sp, s2, idx, valid)
-        return sp, acc_small, rhob_flat
-
-    sp, acc_small, rhob_flat = jax.lax.cond(
-        jnp.any(oflag == 2), class2, lambda a: a, (sp, acc_small, rhob_flat))
-    return sp, acc_small, rhob_flat
+    return jax.lax.cond(
+        jnp.any(oflag == 1), redo, lambda a: a, (sp, acc_small, rhob_flat))
 
 
 def fused_push(sp: SpeciesState, fcoef_T, acc_T, g: Grid, qsp: float,
@@ -619,14 +633,25 @@ def fused_push(sp: SpeciesState, fcoef_T, acc_T, g: Grid, qsp: float,
 
     Precondition: particles bucket-sorted recently enough that each block's
     voxels fit the window (flagged outliers go to outlier_pass).  Particles
-    may reside in periodic ghost cells between sorts (the interpolator table
-    carries ghost columns and fold_ghost_acc_T folds their deposits);
-    callers remap_ghost_voxels before sorting / external consumption.
-    Returns (species, acc_T, outlier_flags, remaining_disp, oow)."""
-    new_sp, acc_out, oflag, odp, oow = _run(sp, fcoef_T, acc_T, g,
-                                            float(qsp), float(msp),
-                                            max_streak, block, window)
-    return new_sp, acc_out, oflag, odp, oow
+    may reside in periodic ghost cells / unwrapped y-image cells between
+    sorts (the interpolator table carries ghost + image columns and
+    fold_ghost_acc_T folds their deposits); callers remap_ghost_voxels
+    before sorting / external consumption.
+    Returns (species, acc_T, outlier_flags, oow)."""
+    return _run(sp, fcoef_T, acc_T, g, float(qsp), float(msp),
+                max_streak, block, window)
+
+
+def expand_y_images_T(tab_T, g: Grid):
+    """Fill the z=0 / z=2 plane thirds of a transposed (rows, nvp) table
+    with periodic y-image copies of the z=1 plane (nz == 1 only)."""
+    import numpy as np
+    rows = tab_T.shape[0]
+    z1 = tab_T[:, g.sz:2 * g.sz].reshape(rows, g.NY, g.NX)
+    m0 = (np.arange(g.NY) - 3) % g.ny + 1
+    m2 = (np.arange(g.NY) + 1) % g.ny + 1
+    return (tab_T.at[:, :g.sz].set(z1[:, m0].reshape(rows, -1))
+            .at[:, 2 * g.sz:3 * g.sz].set(z1[:, m2].reshape(rows, -1)))
 
 
 def advance_p_fused(sp: SpeciesState, fcoef, g: Grid, qsp: float, msp: float,
@@ -638,14 +663,15 @@ def advance_p_fused(sp: SpeciesState, fcoef, g: Grid, qsp: float, msp: float,
     persistent transposed layouts instead)."""
     nvp = table_width(g, window)
     fcoef_T = jnp.zeros((24, nvp), jnp.float32).at[:18, :g.nv].set(fcoef.T)
+    if _y_unwrapped(g):
+        fcoef_T = expand_y_images_T(fcoef_T, g)
     acc_T = jnp.zeros((16, nvp), jnp.float32).at[:12, :g.nv].set(acc.T)
     sp = bucket_sort_p(sp, g)
-    new_sp, acc_T, oflag, odp, oow = fused_push(sp, fcoef_T, acc_T, g, qsp,
-                                                msp, max_streak, block,
-                                                window)
+    new_sp, acc_T, oflag, oow = fused_push(sp, fcoef_T, acc_T, g, qsp,
+                                           msp, max_streak, block, window)
     acc_small = jnp.zeros((g.nv, 12), jnp.float32)
     new_sp, acc_small, rhob_flat = outlier_pass(
-        new_sp, oflag, odp, fcoef_T, g, qsp, msp, acc_small, rhob_flat,
+        new_sp, oflag, fcoef_T, g, qsp, msp, acc_small, rhob_flat,
         max_streak)
     new_sp = remap_ghost_voxels(new_sp, g)
     acc_T = fold_ghost_acc_T(acc_T, g)
