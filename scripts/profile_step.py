@@ -33,7 +33,9 @@ def timeit(fn, *args, n=20, **kw):
 
 
 def main():
-    p = harris.HarrisParams(nx=64, ny=64, nppc=64)
+    a = sys.argv[1:]
+    nx, ny, nppc = (int(x) for x in a) if len(a) == 3 else (64, 64, 64)
+    p = harris.HarrisParams(nx=nx, ny=ny, nppc=nppc)
     sim = harris.build(p)
     state = sim.initialize()
     g = sim.grid

@@ -35,7 +35,7 @@ import jax.numpy as jnp
 
 from .grid import FACE_AXIS, FACE_SIDE, Grid
 from .ops.push import (CUSTOM_BASE, DONE, SpeciesState, deposit_rhob,
-                       streak_walk)
+                       gather_rows, invert_perm, streak_walk)
 
 BUF_COLS = 13
 
@@ -49,12 +49,13 @@ def compact(sp: SpeciesState, *extra):
     n_live = live_rank[-1] if live.shape[0] else jnp.int32(0)
     dead_rank = jnp.cumsum((~live).astype(jnp.int32))
     dest = jnp.where(live, live_rank - 1, n_live + dead_rank - 1)
-    scat = lambda a: jnp.zeros_like(a).at[dest].set(a)
-    sp = sp.replace(dx=scat(sp.dx), dy=scat(sp.dy), dz=scat(sp.dz),
-                    i=scat(sp.i), ux=scat(sp.ux), uy=scat(sp.uy),
-                    uz=scat(sp.uz), w=scat(sp.w), live=scat(sp.live),
-                    np=n_live)
-    return (sp,) + tuple(scat(a) for a in extra)
+    src = invert_perm(dest)
+    moved = gather_rows(src, sp.dx, sp.dy, sp.dz, sp.i, sp.ux, sp.uy,
+                        sp.uz, sp.w, sp.live, *extra)
+    sp = sp.replace(dx=moved[0], dy=moved[1], dz=moved[2], i=moved[3],
+                    ux=moved[4], uy=moved[5], uz=moved[6], w=moved[7],
+                    live=moved[8], np=n_live)
+    return (sp,) + tuple(moved[9:])
 
 
 def _face_perm(g: Grid, face: int):

@@ -166,15 +166,15 @@ def bucket_sort_p(sp: SpeciesState, g: Grid, bucket: int = BUCKET):
                                    jnp.cumsum(counts)[:-1].astype(jnp.int32)])
         dest = offsets[b] + rank
 
-    i_bits = jax.lax.bitcast_convert_type(sp.i, jnp.float32)
-    packed = jnp.stack([sp.dx, sp.dy, sp.dz, sp.ux, sp.uy, sp.uz, sp.w,
-                        i_bits, sp.live.astype(jnp.float32)], axis=1)
-    moved = jnp.zeros_like(packed).at[dest].set(packed)
-    return sp.replace(
-        dx=moved[:, 0], dy=moved[:, 1], dz=moved[:, 2],
-        ux=moved[:, 3], uy=moved[:, 4], uz=moved[:, 5], w=moved[:, 6],
-        i=jax.lax.bitcast_convert_type(moved[:, 7], jnp.int32),
-        live=moved[:, 8] > 0.5)
+    # Move rows with a GATHER by the inverse permutation: on this chip a
+    # row gather runs ~16x faster than the equivalent row scatter (80 ms ->
+    # 5+5 ms at 786k rows), so invert dest with a cheap 1-column scatter.
+    from .push import gather_rows, invert_perm
+    dx, dy, dz, ux, uy, uz, w, i, live = gather_rows(
+        invert_perm(dest), sp.dx, sp.dy, sp.dz, sp.ux, sp.uy, sp.uz,
+        sp.w, sp.i, sp.live)
+    return sp.replace(dx=dx, dy=dy, dz=dz, ux=ux, uy=uy, uz=uz, w=w,
+                      i=i, live=live)
 
 
 def _kernel(g: Grid, qsp, msp, max_streak, P, V, nvp,

@@ -50,6 +50,45 @@ UNFINISHED = 6
 CUSTOM_BASE = 8
 
 
+def invert_perm(dest):
+    """Inverse of a permutation given as dest[i] = output slot of input i.
+    One 1-column scatter -- the only scatter a row permutation needs."""
+    return jnp.zeros_like(dest).at[dest].set(
+        jax.lax.iota(jnp.int32, dest.shape[0]))
+
+
+def gather_rows(src, *arrays):
+    """Permute same-length 1-d arrays by per-OUTPUT-slot source index in ONE
+    packed row gather.  On this chip gathers/scatters pay a per-row cost, so
+    a single (N, k) row gather is ~k times cheaper than k column moves, and
+    a row gather is ~16x cheaper than the equivalent row scatter -- movers
+    should always be expressed as gather-by-inverse-permutation.  int/bool
+    columns ride as bitcast/encoded f32 (exact round-trip)."""
+    cols, kinds = [], []
+    for a in arrays:
+        if a.dtype == jnp.bool_:
+            cols.append(a.astype(jnp.float32))
+            kinds.append("b")
+        elif jnp.issubdtype(a.dtype, jnp.integer):
+            cols.append(jax.lax.bitcast_convert_type(
+                a.astype(jnp.int32), jnp.float32))
+            kinds.append("i")
+        else:
+            cols.append(a)
+            kinds.append("f")
+    moved = jnp.take(jnp.stack(cols, axis=1), src, axis=0)
+    out = []
+    for k, c in zip(kinds, range(len(cols))):
+        col = moved[:, c]
+        if k == "b":
+            out.append(col > 0.5)
+        elif k == "i":
+            out.append(jax.lax.bitcast_convert_type(col, jnp.int32))
+        else:
+            out.append(col)
+    return tuple(out)
+
+
 class PushResult(NamedTuple):
     species: SpeciesState
     acc: jnp.ndarray          # (nv, 12) quarter-face current accumulator
@@ -489,7 +528,8 @@ def sort_p(sp: SpeciesState) -> SpeciesState:
     collision pairing can partition by cell."""
     key = jnp.where(sp.alive, sp.i, jnp.iinfo(jnp.int32).max)
     order = jnp.argsort(key, stable=True)
-    take = lambda a: a[order]
-    return sp.replace(dx=take(sp.dx), dy=take(sp.dy), dz=take(sp.dz),
-                      i=take(sp.i), ux=take(sp.ux), uy=take(sp.uy),
-                      uz=take(sp.uz), w=take(sp.w), live=take(sp.live))
+    dx, dy, dz, i, ux, uy, uz, w, live = gather_rows(
+        order, sp.dx, sp.dy, sp.dz, sp.i, sp.ux, sp.uy, sp.uz, sp.w,
+        sp.live)
+    return sp.replace(dx=dx, dy=dy, dz=dz, i=i, ux=ux, uy=uy, uz=uz, w=w,
+                      live=live)
