@@ -89,8 +89,9 @@ class Simulation:
         self.num_comm_round = 3
         self.max_streak = 4
         # Fused Pallas hot path: "auto" enables it on supported decks
-        # (single shard, nz == 1, periodic/reflect particle BCs only,
-        # no runtime injection); sort staleness bounded by the window.
+        # (nz == 1; sharded, absorbing/custom-BC, emitter and injection
+        # decks included -- boundary lanes are pre-flagged and replayed
+        # exactly); sort staleness bounded by the window.
         self.use_pallas = "auto"
         self.pallas_sort_interval = 4
         # User hooks (deck sections): callables state -> state pieces.
@@ -606,8 +607,7 @@ class Simulation:
 
         from .ops import pallas_push as PP
         max_cap = max((st.params.capacity for st in self.species), default=0)
-        use_fused = (PP.supports(g, max_cap) and not self.emitters
-                     and self.user_particle_injection is None
+        use_fused = (PP.supports(g, max_cap)
                      if self.use_pallas == "auto" else bool(self.use_pallas))
         sortK = max(1, self.pallas_sort_interval)
 
@@ -636,10 +636,18 @@ class Simulation:
             if use_fused:
                 # Fused Pallas hot path: one kernel per species fusing
                 # gather + Boris + streak walk + MXU one-hot deposition.
+                # Wall crossers (absorb/custom faces) are pre-flagged by
+                # the kernel and replayed exactly by outlier_pass.
                 nvp = PP.table_width(g)
                 fcoef_T = I.load_interpolator_T(f, g, nvp)
                 acc_T = jnp.zeros((16, nvp), jnp.float32)
                 acc_small = jnp.zeros((g.nv, 12), jnp.float32)
+                bkey = ekey = None
+                if (g.sharded or self.pbc_handlers or emitters
+                        or u_pinject is not None):
+                    rng, bkey, ekey = jax.random.split(
+                        jax.random.fold_in(rng, step), 3)
+                pends, disps = [], []
                 for k, spp in enumerate(sp_params):
                     sp = jax.lax.cond(
                         step % sortK == 0,
@@ -649,11 +657,44 @@ class Simulation:
                     sp, acc_T, oflag, _ = PP.fused_push(
                         sp, fcoef_T, acc_T, g, spp.q, spp.m,
                         max_streak=self.max_streak)
-                    # stale-sort outliers are rare; self-gates on a lax.cond
-                    sp, acc_small, rhob = PP.outlier_pass(
-                        sp, oflag, fcoef_T, g, spp.q, spp.m,
-                        acc_small, rhob, self.max_streak)
+                    # outlier lanes (stale sort / wall crossers) are rare;
+                    # self-gates on a lax.cond
+                    okey = (jax.random.fold_in(bkey, k)
+                            if bkey is not None else None)
+                    if g.sharded:
+                        # remote/custom pends go to the deck-level
+                        # boundary_p below (migration + edge BCs)
+                        sp, acc_small, rhob, pend, disp = PP.outlier_pass(
+                            sp, oflag, fcoef_T, g, spp.q, spp.m,
+                            acc_small, rhob, self.max_streak,
+                            return_pends=True)
+                        pends.append(pend)
+                        disps.append(disp)
+                    else:
+                        sp, acc_small, rhob = PP.outlier_pass(
+                            sp, oflag, fcoef_T, g, spp.q, spp.m,
+                            acc_small, rhob, self.max_streak, spp=spp,
+                            custom_handlers=self.pbc_handlers, key=okey)
                     species[k] = sp
+                # --- emission / user injection (advance.cc:58-60, before
+                # boundary_p like the reference): runs on the standard-
+                # layout accumulator/interpolator ---
+                if emitters or u_pinject is not None:
+                    fcoef = I.load_interpolator(f, g)
+                    for em in emitters:
+                        species, acc_small, rhob, ekey = em(
+                            species, f, fcoef, acc_small, rhob, g, step,
+                            ekey)
+                    if u_pinject is not None:
+                        species, acc_small, rhob, ekey = u_pinject(
+                            species, f, fcoef, acc_small, rhob, g, step,
+                            ekey)
+                if g.sharded:
+                    species, acc_small, rhob, _ = B.boundary_p(
+                        species, sp_params, pends, disps, acc_small, rhob,
+                        g, num_comm_round=self.num_comm_round,
+                        max_streak=self.max_streak,
+                        custom_handlers=self.pbc_handlers, key=bkey)
                 acc_T = PP.fold_ghost_acc_T(acc_T, g)
                 f = F.clear_jf(f)
                 f = I.unload_accumulator_T(f, acc_T, g, extra=acc_small)

@@ -18,7 +18,6 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from .boundary import compact
 from .grid import FACE_AXIS, FACE_SIDE, Grid
 from .ops.push import DONE, deposit_rhob, streak_walk
 from .state import SpeciesParams, SpeciesState
@@ -114,10 +113,13 @@ def child_langmuir(sp_idx: int, spp: SpeciesParams, components,
             pxyz[a] = jnp.where(axis == a, -dirn,
                                 jnp.where((axis + 1) % 3 == a, r1, r2))
 
-        # Insert into free slots after compaction.
-        (sp,) = compact(sp)
+        # Insert into dead slots WITHOUT reordering live lanes (slot order
+        # must stay aligned with any pend/disp arrays the caller holds;
+        # also keeps the fused path's bucket-sorted layout intact).
+        free = jnp.nonzero(~sp.live, size=M, fill_value=sp.capacity)[0]
         rank = jnp.cumsum(eligible.astype(jnp.int32)) - 1
-        slot = jnp.where(eligible, sp.np + rank, sp.capacity)
+        slot = jnp.where(eligible, free[jnp.clip(rank, 0, M - 1)],
+                         sp.capacity)
         n_new = jnp.minimum(jnp.sum(eligible.astype(jnp.int32)),
                             sp.capacity - sp.np)
 
@@ -209,9 +211,10 @@ def runtime_inject(sp: SpeciesState, g: Grid, acc, rhob, key,
     dz, iz = conv(z, g.z0, g.z1, g.gnz)
     vox = ix + g.NX * (iy + g.NY * iz)
 
-    (sp,) = compact(sp)
+    # Dead-slot insertion (no live-lane reordering; see child_langmuir).
+    free = jnp.nonzero(~sp.live, size=M, fill_value=sp.capacity)[0]
     rank = jnp.cumsum(valid.astype(jnp.int32)) - 1
-    slot = jnp.where(valid, sp.np + rank, sp.capacity)
+    slot = jnp.where(valid, free[jnp.clip(rank, 0, M - 1)], sp.capacity)
     n_new = jnp.minimum(jnp.sum(valid.astype(jnp.int32)),
                         sp.capacity - sp.np)
     ins = lambda a, v: a.at[slot].set(v, mode="drop")

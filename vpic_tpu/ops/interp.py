@@ -121,8 +121,8 @@ def load_interpolator_T(f: FieldState, g: Grid, nvp: int):
     # folded back by fold_ghost_acc_T), others zero.  Pure pad/concat + one
     # stack -- no incremental full-array updates (those cost ~2 ms/step).
     from ..grid import P_PERIODIC
-    periodic = [g.axis_bc(ax, -1, particles=True) == P_PERIODIC
-                for ax in (0, 1, 2)]
+    from .pallas_push import _eff_bc
+    periodic = [_eff_bc(g, ax, -1) == P_PERIODIC for ax in (0, 1, 2)]
 
     def expand(a):
         for ax in (0, 1, 2):            # grid x, y, z -> array axes 2, 1, 0

@@ -31,9 +31,16 @@ gather/scatter path in ops/push.py:
   fold_ghost_acc_T folds image deposits onto their canonical rows and
   remap_ghost_voxels decodes image residents (at sort time).
 
-Scope guard (falls back to ops/push.advance_p otherwise): single shard,
-nz == 1 (linear-index windows only work when crossings move the voxel by
-+-1 or +-NX), paired periodic faces, no absorbing/custom particle BCs.
+* Absorbing / custom particle-BC faces (and emitter/injection decks) stay
+  on the fused path: the kernel pre-flags lanes that would cross such a
+  face BEFORE any deposit (exact under CFL: edge cell + final position)
+  and freezes them untouched; the compact XLA outlier pass replays them
+  with full boundary semantics (absorb+rhob, tallies, custom handlers).
+
+Scope guard (falls back to ops/push.advance_p otherwise): nz == 1
+(linear-index windows only work when crossings move the voxel by +-1 or
++-NX) and paired periodic faces; sharded grids run this kernel per shard
+with remote crossers pre-flagged like walls.
 """
 
 from __future__ import annotations
@@ -47,7 +54,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from ..grid import P_PERIODIC, REFLECT_PARTICLES, Grid
+from ..grid import P_PERIODIC, P_REMOTE, REFLECT_PARTICLES, Grid
 from ..state import SpeciesState
 from .push import BIG, ONE_THIRD, TWO_FIFTEENTHS, PushResult, sort_p
 
@@ -55,26 +62,29 @@ DEF_BLOCK = 1024     # particles per kernel invocation (1-D f32 XLA tile)
 DEF_WINDOW = 1024    # voxel window (lanes); multiple of 128
 
 
+def _eff_bc(g: Grid, ax: int, side: int) -> int:
+    """Per-axis particle BC as the kernel must treat it: any device-mesh-
+    sharded axis is a remote 'wall' (crossers pre-flagged; the deck-level
+    boundary_p applies the real edge BC or migrates), regardless of the
+    global-domain BC stored on the face."""
+    if g.topology[ax] > 1:
+        return P_REMOTE
+    return g.axis_bc(ax, side, particles=True)
+
+
 def supports(g: Grid, max_capacity: int = 0) -> bool:
-    if g.sharded or g.nz != 1:
+    """Can the fused kernel run this grid (per shard)?  Periodic/reflect
+    faces are handled in-kernel; absorbing, custom-BC, and cross-shard
+    remote faces are allowed because would-be crossers are pre-flagged and
+    replayed by the exact XLA outlier pass (the deck routes remote/custom
+    pends to boundary_p).  Only 3-D grids fall back to the general path."""
+    if g.nz != 1:
         return False
     for axis in range(3):
-        for side in (-1, 1):
-            if g.axis_bc(axis, side, particles=True) not in (
-                    P_PERIODIC, REFLECT_PARTICLES):
-                return False
         # periodic must pair up (the in-kernel wrap / unwrapped-y image
         # schemes assume a periodic partner face)
-        if ((g.axis_bc(axis, -1, particles=True) == P_PERIODIC)
-                != (g.axis_bc(axis, 1, particles=True) == P_PERIODIC)):
-            return False
-    if max_capacity:
-        # bucket_sort materializes an (N, nv/BUCKET) one-hot; cap its HBM
-        # footprint (a scalable radix sort replaces this later).  The fused
-        # path still beats the XLA path while this transient fits (measured
-        # at 1M particles / 128^2 cells: 9.7 vs 7.6 Mpush/s).
-        nb = _round_up(g.nv, BUCKET) // BUCKET + 1
-        if max_capacity * nb * 4 > 6 * 1024 ** 3:
+        if ((_eff_bc(g, axis, -1) == P_PERIODIC)
+                != (_eff_bc(g, axis, 1) == P_PERIODIC)):
             return False
     return g.nv >= 256
 
@@ -116,55 +126,88 @@ def table_width(g: Grid, window: int = DEF_WINDOW) -> int:
     return max(_round_up(g.nv, 128), window)
 
 
+def _sort_dest(b, nb: int, N: int, C: int = 256, R: int = 128):
+    """Stable counting-sort destinations for keys b in [0, nb] (nb = dead
+    key, sorts last), scalable to any (N, nb) -- no (N, nb) one-hot and no
+    N-row gather ever touches HBM.
+
+    The key splits into digits b = hi*R + lo; per 256-particle chunk the
+    (hi, lo) histogram is the MXU product onehot_hi^T @ onehot_lo of the
+    two small digit one-hots (O(N*nb) flops but only O(N*sqrt-ish)
+    transients).  Rank-among-equals within a chunk is a strict-lower
+    compare matrix (O(N*C), nb-independent).  The global base offset
+    E[chunk, hi, lo] (bucket offset + preceding-chunk counts) comes back
+    per particle through two more exact one-hot contractions (E < 2^24
+    splits exactly into 3 bf16 terms).  All under lax.map in chunk groups
+    so transients stay in the MB range."""
+    Np = _round_up(N, C)
+    nc = Np // C
+    nhi = (nb + R) // R
+    # group chunks so each map step's transients stay ~8 MB
+    per = C * (R + nhi) * 6 + C * C + C * R * 4
+    group = max(1, min(nc, (1 << 23) // per))
+    while nc % group:
+        group -= 1
+    bp = jnp.pad(b, (0, Np - N), constant_values=nb)
+    blo = (bp % R).reshape(nc // group, group, C)
+    bhi = (bp // R).reshape(nc // group, group, C)
+    bc = bp.reshape(nc // group, group, C)
+    lane = jnp.arange(C, dtype=jnp.int32)
+    strict = lane[None, :] < lane[:, None]        # (C, C) j < i
+    vlo = jnp.arange(R, dtype=bp.dtype)
+    vhi = jnp.arange(nhi, dtype=bp.dtype)
+
+    def pass1(args):
+        lo, hi, bg = args
+        ohlo = (lo[:, :, None] == vlo[None, None, :]).astype(jnp.bfloat16)
+        ohhi = (hi[:, :, None] == vhi[None, None, :]).astype(jnp.bfloat16)
+        cnt = jnp.einsum('gch,gcl->ghl', ohhi, ohlo,
+                         preferred_element_type=jnp.float32)
+        eq = (bg[:, :, None] == bg[:, None, :]) & strict[None]
+        rank = jnp.sum(eq.astype(jnp.float32), axis=2)
+        return cnt, rank
+
+    counts, rank = jax.lax.map(pass1, (blo, bhi, bc))
+    counts = counts.reshape(nc, nhi, R)           # exact ints <= 256
+    rank = rank.reshape(Np)
+    chunk_prefix = jnp.cumsum(counts, axis=0) - counts
+    tot = counts.sum(axis=0).reshape(-1)          # (nhi*R,) in v order
+    offsets = (jnp.cumsum(tot) - tot).reshape(nhi, R)
+    E = offsets[None] + chunk_prefix              # (nc, nhi, R), < 2^24
+
+    def pass2(args):
+        lo, hi, Eg = args
+        ohlo = (lo[:, :, None] == vlo[None, None, :]).astype(jnp.float32)
+        ohhi = (hi[:, :, None] == vhi[None, None, :]).astype(jnp.bfloat16)
+        # exact: E splits into 3 bf16 terms (8-bit mantissas cover 2^24),
+        # each contracted against an exact one-hot
+        tmp = jnp.zeros(ohlo.shape, jnp.float32)  # (g, C, R)
+        rem = Eg
+        for _ in range(3):
+            t = rem.astype(jnp.bfloat16)
+            tmp = tmp + jnp.einsum('gch,ghl->gcl', ohhi, t,
+                                   preferred_element_type=jnp.float32)
+            rem = rem - t.astype(jnp.float32)
+        return jnp.sum(tmp * ohlo, axis=2)
+
+    off_base = jax.lax.map(
+        pass2, (blo, bhi, E.reshape(nc // group, group, nhi, R))
+    ).reshape(Np)
+    return (off_base + rank).astype(jnp.int32)[:N]
+
+
 def bucket_sort_p(sp: SpeciesState, g: Grid, bucket: int = BUCKET):
     """O(N) stable counting sort by coarse voxel bucket (dead slots last).
 
     The fused kernel only needs particles grouped within its voxel window,
-    not fully ordered, so a coarse counting sort (one (N, nb) cumsum for the
-    destinations) replaces the argsort the general sort_p uses -- the TPU
-    re-expression of the reference's coarse/fine two-pass sort
-    (sort_p_pipeline.c: coarse histogram -> prefix -> scatter).  The 9
-    particle arrays are packed into one (N, 16) row matrix and moved with a
-    single row scatter: on TPU a row scatter costs about the same as a 1-d
-    scatter, so this is ~9x cheaper than per-array permutation."""
+    not fully ordered, so a coarse counting sort replaces the argsort the
+    general sort_p uses -- the TPU re-expression of the reference's
+    coarse/fine two-pass sort (sort_p_pipeline.c: coarse histogram ->
+    prefix -> scatter)."""
     N = sp.capacity
     nb = _round_up(g.nv, bucket) // bucket
     b = jnp.where(sp.live, sp.i // bucket, nb)
-    if jax.devices()[0].platform == "tpu":
-        # Rank-within-bucket via MXU: chunked lower-triangular matmul gives
-        # the inclusive per-chunk counts (chunks of 256 keep every count
-        # <= 256, which bf16 represents exactly), and rank/base/offset
-        # extraction is a one-hot row-dot -- no gathers, no long cumsum
-        # (3x faster than the integer-cumsum formulation on this chip, and
-        # bit-identical destinations).
-        C = 256
-        Np = _round_up(N, C)
-        bp = jnp.pad(b, (0, Np - N), constant_values=nb)
-        bc = bp.reshape(-1, C)
-        oh = (bc[:, :, None] == jnp.arange(nb + 1)[None, None, :]
-              ).astype(jnp.bfloat16)
-        tril = jnp.tril(jnp.ones((C, C), jnp.bfloat16))
-        cum = jnp.einsum('ij,cjb->cib', tril, oh,
-                         preferred_element_type=jnp.float32)
-        chunk_tot = cum[:, -1, :]
-        chunk_base = jnp.cumsum(chunk_tot, axis=0) - chunk_tot
-        counts = chunk_tot.sum(axis=0)
-        offsets = jnp.concatenate([jnp.zeros((1,), jnp.float32),
-                                   jnp.cumsum(counts)[:-1]])
-        ohf = oh.astype(jnp.float32)
-        rank = jnp.sum(cum * ohf, axis=2) - 1.0
-        base = jnp.sum(chunk_base[:, None, :] * ohf, axis=2)
-        off = jnp.sum(offsets[None, None, :] * ohf, axis=2)
-        dest = (off + base + rank).reshape(-1)[:N].astype(jnp.int32)
-    else:
-        onehot = (b[:, None] == jnp.arange(nb + 1)[None, :]
-                  ).astype(jnp.int32)
-        cum = jnp.cumsum(onehot, axis=0)
-        rank = jnp.take_along_axis(cum, b[:, None], axis=1)[:, 0] - 1
-        counts = cum[-1]
-        offsets = jnp.concatenate([jnp.zeros((1,), jnp.int32),
-                                   jnp.cumsum(counts)[:-1].astype(jnp.int32)])
-        dest = offsets[b] + rank
+    dest = _sort_dest(b, nb, N)
 
     # Move rows with a GATHER by the inverse permutation: on this chip a
     # row gather runs ~16x faster than the equivalent row scatter (80 ms ->
@@ -274,6 +317,31 @@ def _kernel(g: Grid, qsp, msp, max_streak, P, V, nvp,
     yi = vox // g.NX - g.NY
     xi = vox - g.NX * (vox // g.NX)
 
+    # Wall pre-flag: a lane whose step would cross a face whose BC the
+    # kernel does not implement (absorb / custom / remote) is frozen
+    # UNTOUCHED and flagged; the compact XLA outlier pass replays it with
+    # full boundary semantics (rhob deposit, tallies, custom handlers).
+    # Under CFL a particle crosses at most one face per axis per step, so
+    # the edge-cell + final-position test is exact; the small margin
+    # absorbs ULP disagreement with the walk's (dir-p)/dp face test (a
+    # missed lane parks at the face and is flagged next step).
+    eps = 1e-5
+    coords3 = (xi, yi, jnp.ones_like(xi))
+    pos3 = (dx, dy, dz)
+    dp3 = (dpx, dpy, dpz)
+    wall = jnp.zeros_like(safe)
+    for ax in range(3):
+        n_ax = (g.nx, g.ny, g.nz)[ax]
+        for side in (-1, 1):
+            if _eff_bc(g, ax, side) in (P_PERIODIC, REFLECT_PARTICLES):
+                continue
+            edge = 1 if side < 0 else n_ax
+            p_new = pos3[ax] + 2.0 * dp3[ax]
+            beyond = (p_new < -1.0 + eps) if side < 0 else (p_new > 1.0 - eps)
+            wall = wall | ((coords3[ax] == edge) & beyond)
+    safe = safe & ~wall
+    entry_flag = entry_flag | (live & wall)
+
     q0 = jnp.where(safe, qsp * w, 0.0)
     active = safe
     adma_in.wait()
@@ -373,8 +441,8 @@ def _kernel(g: Grid, qsp, msp, max_streak, P, V, nvp,
             coord = (xi, yi)[ax] if ax < 2 else jnp.ones_like(xi)
             d = (dirx, diry, dirz)[ax]
             newc = coord + jnp.where(d > 0, 1, -1)
-            lo_bc = g.axis_bc(ax, -1, particles=True)
-            hi_bc = g.axis_bc(ax, 1, particles=True)
+            lo_bc = _eff_bc(g, ax, -1)
+            hi_bc = _eff_bc(g, ax, 1)
             if ax == 1:
                 # unwrapped y: periodic sides have no limit at all
                 lo_lim = -BIG_LIM if lo_bc == P_PERIODIC else 1
@@ -388,14 +456,14 @@ def _kernel(g: Grid, qsp, msp, max_streak, P, V, nvp,
             coord = jnp.where(inside, newc, coord)
             flip = inside
             for side, om in ((-1, out_lo), (1, out_hi)):
-                bc = g.axis_bc(ax, side, particles=True)
+                bc = _eff_bc(g, ax, side)
                 if bc == P_PERIODIC:
                     # reachable only for ax == 0 (x ghost-layer exit):
                     # re-map to the canonical column and keep walking
                     coord = jnp.where(om, newc + (n_ax if side < 0
                                                   else -n_ax), coord)
                     flip = flip | om
-                else:   # reflect (guarded by supports())
+                elif bc == REFLECT_PARTICLES:
                     if ax == 0:
                         ux = jnp.where(om, -ux, ux)
                         dpx = jnp.where(om, -dpx, dpx)
@@ -405,6 +473,17 @@ def _kernel(g: Grid, qsp, msp, max_streak, P, V, nvp,
                     else:
                         uz = jnp.where(om, -uz, uz)
                         dpz = jnp.where(om, -dpz, dpz)
+                else:
+                    # wall face (absorb/custom): unreachable modulo the
+                    # pre-flag's ULP margin -- park the lane at the face;
+                    # the pre-flag catches it next step and the outlier
+                    # pass applies the real BC then
+                    if ax == 0:
+                        dpx = jnp.where(om, 0.0, dpx)
+                    elif ax == 1:
+                        dpy = jnp.where(om, 0.0, dpy)
+                    else:
+                        dpz = jnp.where(om, 0.0, dpz)
             if ax == 0:
                 xi = coord
                 px = jnp.where(flip, -px, px)
@@ -499,7 +578,7 @@ def _run(sp: SpeciesState, fcoef_T, acc_T, g: Grid, qsp, msp,
 def _y_unwrapped(g: Grid) -> bool:
     """Does the fused path run the unwrapped-y scheme (periodic y images in
     the z=0/z=2 plane thirds)?  Only meaningful when supports(g)."""
-    return g.nz == 1 and g.axis_bc(1, -1, particles=True) == P_PERIODIC
+    return g.nz == 1 and _eff_bc(g, 1, -1) == P_PERIODIC
 
 
 def remap_ghost_voxels(sp: SpeciesState, g: Grid) -> SpeciesState:
@@ -514,7 +593,7 @@ def remap_ghost_voxels(sp: SpeciesState, g: Grid) -> SpeciesState:
         zi = jnp.ones_like(zi)
     coords = [xi, yi, zi]
     for ax, n_ax in enumerate((g.nx, g.ny, g.nz)):
-        if g.axis_bc(ax, -1, particles=True) != P_PERIODIC:
+        if _eff_bc(g, ax, -1) != P_PERIODIC:
             continue
         if ax == 1 and _y_unwrapped(g):
             continue                    # already canonical via the mod
@@ -544,7 +623,7 @@ def fold_ghost_acc_T(acc_T, g: Grid):
         z = jnp.zeros_like(p1)
         a = jnp.stack([z, p1, z], axis=1)
     for ax, n_ax in enumerate((g.nx, g.ny, g.nz)):
-        if g.axis_bc(ax, -1, particles=True) != P_PERIODIC:
+        if _eff_bc(g, ax, -1) != P_PERIODIC:
             continue
         aa = 3 - ax  # array axis within (12, NZ, NY, NX)
         lo = jax.lax.index_in_dim(a, 0, aa, keepdims=True)
@@ -601,29 +680,62 @@ def _scatter_back(sp: SpeciesState, s2: SpeciesState, idx, valid):
 
 def outlier_pass(sp: SpeciesState, oflag, fcoef_T, g: Grid,
                  qsp: float, msp: float, acc_small, rhob_flat,
-                 max_streak: int = 4, cap: int = 0):
-    """Redo entry-guard-flagged lanes (stale-sort drift: the kernel skipped
-    them untouched) through the general XLA advance_p on a compacted
-    fixed-size buffer, under a lax.cond so the common no-outlier step pays
-    (nearly) nothing.  acc_small is a separate (nv, 12) accumulator merged
-    at unload.  Mid-walk boundary cases no longer exist: periodic x re-maps
-    in-kernel and periodic y walks unwrapped into the image ranges."""
-    from .push import advance_p
+                 max_streak: int = 4, cap: int = 0, spp=None,
+                 custom_handlers=None, key=None, return_pends: bool = False):
+    """Redo entry-guard-flagged lanes through the general XLA advance_p on
+    a compacted fixed-size buffer, under a lax.cond so the common
+    no-outlier step pays (nearly) nothing.  Two lane classes land here,
+    both frozen untouched by the kernel: stale-sort drift (out of window)
+    and wall pre-flags (would cross an absorbing/custom face).  advance_p
+    replays them exactly -- including absorb-with-rhob -- and any custom
+    particle-BC pends are dispatched to ``custom_handlers`` (requires
+    ``spp``/``key``) like the general path's boundary_p.  acc_small is a
+    separate (nv, 12) accumulator merged at unload."""
+    from .push import DONE, advance_p
     N = sp.capacity
     cap = cap or max(1024, N // 128)
+    pend0 = jnp.full((N,), DONE, jnp.int32)
+    zeros = jnp.zeros((N,), jnp.float32)
 
-    def redo(args):
-        sp, acc_small, rhob_flat = args
-        small, _, idx, valid = _compact(sp, oflag == 1, (), cap)
+    def body(carry):
+        sp, acc_small, rhob_flat, flags, pend, disp, it = carry
+        small, _, idx, valid = _compact(sp, flags, (), cap)
         small = remap_ghost_voxels(small, g)
         rows = fcoef_T[:, small.i].T                   # (cap, 18)
         res = advance_p(small, None, g, qsp, msp, acc_small, rhob_flat,
                         max_streak=max_streak, rows=rows)
-        sp = _scatter_back(sp, res.species, idx, valid)
-        return sp, res.acc, res.rhob_flat
+        s2, acc2, rhob2 = res.species, res.acc, res.rhob_flat
+        tgt = jnp.where(valid, idx, N)
+        if return_pends:
+            # hand unfinished lanes (remote faces / custom BCs) to the
+            # deck-level boundary_p on full-size arrays
+            pend = pend.at[tgt].set(
+                jnp.where(valid, res.pend_face, DONE), mode="drop")
+            disp = tuple(z.at[tgt].set(jnp.where(valid, d, 0.0),
+                                       mode="drop")
+                         for z, d in zip(disp, res.pend_disp))
+        elif custom_handlers:
+            from .. import boundary as B
+            [s2], acc2, rhob2, _ = B.boundary_p(
+                [s2], [spp], [res.pend_face], [res.pend_disp], acc2,
+                rhob2, g, num_comm_round=0, max_streak=max_streak,
+                custom_handlers=custom_handlers,
+                key=jax.random.fold_in(key, it))
+        sp = _scatter_back(sp, s2, idx, valid)
+        flags = flags.at[tgt].set(False, mode="drop")
+        return sp, acc2, rhob2, flags, pend, disp, it + 1
 
-    return jax.lax.cond(
-        jnp.any(oflag == 1), redo, lambda a: a, (sp, acc_small, rhob_flat))
+    # batch-process until no flags remain (a step with more outliers than
+    # cap just takes extra rounds instead of silently stalling lanes);
+    # the common no-outlier step exits the while immediately.
+    out = jax.lax.while_loop(
+        lambda c: jnp.any(c[3]), body,
+        (sp, acc_small, rhob_flat, oflag == 1, pend0,
+         (zeros, zeros, zeros), jnp.int32(0)))
+    sp, acc_small, rhob_flat, _, pend, disp, _ = out
+    if return_pends:
+        return sp, acc_small, rhob_flat, pend, disp
+    return sp, acc_small, rhob_flat
 
 
 def fused_push(sp: SpeciesState, fcoef_T, acc_T, g: Grid, qsp: float,

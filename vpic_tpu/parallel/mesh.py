@@ -49,8 +49,9 @@ def shard_fn(fn, g: Grid, mesh: Mesh):
         def local(gs):
             return global_view(fn(local_view(gs)))
 
+        # check_vma=False: pallas_call outputs carry no vma annotation
         return shard_map(local, mesh=mesh, in_specs=spec,
-                         out_specs=spec)(gstate)
+                         out_specs=spec, check_vma=False)(gstate)
 
     return wrapped
 
