@@ -60,6 +60,7 @@ from .push import BIG, ONE_THIRD, TWO_FIFTEENTHS, PushResult, sort_p
 
 DEF_BLOCK = 1024     # particles per kernel invocation (1-D f32 XLA tile)
 DEF_WINDOW = 1024    # voxel window (lanes); multiple of 128
+RESIDENT_VMEM_BUDGET = 10 << 20   # bytes of VMEM the tables may occupy
 
 
 def _eff_bc(g: Grid, ax: int, side: int) -> int:
@@ -220,7 +221,7 @@ def bucket_sort_p(sp: SpeciesState, g: Grid, bucket: int = BUCKET):
                       i=i, live=live)
 
 
-def _kernel(g: Grid, qsp, msp, max_streak, P, V, nvp,
+def _kernel(g: Grid, qsp, msp, max_streak, P, V, nvp, resident,
             w0_ref,  # scalar prefetch: (nblocks,) window starts (int32)
             dx_ref, dy_ref, dz_ref, vox_ref, ux_ref, uy_ref, uz_ref,
             w_ref, live_ref, tab_ref, acc_in_ref,
@@ -230,27 +231,42 @@ def _kernel(g: Grid, qsp, msp, max_streak, P, V, nvp,
     b = pl.program_id(0)
     w0 = pl.multiple_of(w0_ref[b], 128)
 
-    # Stream this block's (18, V) table window from HBM (the whole table can
-    # exceed VMEM at large grid sizes).
-    tdma = pltpu.make_async_copy(tab_ref.at[:, pl.ds(w0, V)], tab_scratch,
-                                 tab_sem)
-    tdma.start()
-
     qdt_2mc = (qsp * g.dt) / (2.0 * msp * g.cvac)
     cdt_dx = g.cvac * g.dt * g.rdx
     cdt_dy = g.cvac * g.dt * g.rdy
     cdt_dz = g.cvac * g.dt * g.rdz
 
-    # The accumulator lives in HBM (aliased input/output, any grid size);
-    # each block read-modify-writes only its own voxel window, which is safe
-    # because TPU grid steps run sequentially.
-    @pl.when(b == 0)
-    def _():
-        oow_ref[0, 0] = 0
-    adma_in = pltpu.make_async_copy(acc_ref.at[:, pl.ds(w0, V)],
-                                    acc_scratch, acc_sem)
-    adma_in.start()
-    tdma.wait()
+    if resident:
+        # Whole table + accumulator live in VMEM scratch for the whole
+        # kernel: ONE copy-in at block 0, ONE copy-out at the last block.
+        # This removes the per-block HBM accumulator read-modify-write
+        # whose DMA latency otherwise serializes the ~N/P grid steps.
+        @pl.when(b == 0)
+        def _():
+            oow_ref[0, 0] = 0
+            tdma = pltpu.make_async_copy(tab_ref, tab_scratch, tab_sem)
+            adma = pltpu.make_async_copy(acc_ref, acc_scratch, acc_sem)
+            tdma.start()
+            adma.start()
+            tdma.wait()
+            adma.wait()
+    else:
+        # Stream this block's table window from HBM (the whole table can
+        # exceed VMEM at large grid sizes).  The accumulator stays in HBM
+        # (aliased input/output); each block read-modify-writes only its
+        # own voxel window, which is safe because TPU grid steps run
+        # sequentially.
+        tdma = pltpu.make_async_copy(tab_ref.at[:, pl.ds(w0, V)],
+                                     tab_scratch, tab_sem)
+        tdma.start()
+
+        @pl.when(b == 0)
+        def _():
+            oow_ref[0, 0] = 0
+        adma_in = pltpu.make_async_copy(acc_ref.at[:, pl.ds(w0, V)],
+                                        acc_scratch, acc_sem)
+        adma_in.start()
+        tdma.wait()
 
     dx = dx_ref[:]
     dy = dy_ref[:]
@@ -276,7 +292,10 @@ def _kernel(g: Grid, qsp, msp, max_streak, P, V, nvp,
     local = jnp.where(safe, loc0, -1)[:, None]
     onehot = (lane == local).astype(jnp.bfloat16)
 
-    tab_win = tab_scratch[:, :]                           # (18, V)
+    if resident:
+        tab_win = tab_scratch[:, pl.ds(w0, V)]            # (24, V)
+    else:
+        tab_win = tab_scratch[:, :]
     rows = _hilo_dot(tab_win, onehot, ((1,), (1,)))       # (18, P)
 
     hax = qdt_2mc * ((rows[0] + dy * rows[1]) + dz * (rows[2] + dy * rows[3]))
@@ -344,7 +363,8 @@ def _kernel(g: Grid, qsp, msp, max_streak, P, V, nvp,
 
     q0 = jnp.where(safe, qsp * w, 0.0)
     active = safe
-    adma_in.wait()
+    if not resident:
+        adma_in.wait()
 
     px, py, pz = dx, dy, dz
     for round_idx in range(max_streak):
@@ -392,7 +412,11 @@ def _kernel(g: Grid, qsp, msp, max_streak, P, V, nvp,
         def deposit(vals=vals, vox_cur=vox_cur, active=active):
             local = (vox_cur - w0)[:, None]
             oh = (lane == local).astype(jnp.bfloat16)
-            acc_scratch[:, :] += _hilo_dot(vals, oh, ((1,), (0,)))
+            upd = _hilo_dot(vals, oh, ((1,), (0,)))
+            if resident:
+                acc_scratch[:, pl.ds(w0, V)] += upd
+            else:
+                acc_scratch[:, :] += upd
             oow_ref[0, 0] += jnp.sum(jnp.where(
                 active & ((vox_cur - w0 < 0) | (vox_cur - w0 >= V)), 1, 0))
 
@@ -493,10 +517,18 @@ def _kernel(g: Grid, qsp, msp, max_streak, P, V, nvp,
             else:
                 pz = jnp.where(flip, -pz, pz)
 
-    adma_out = pltpu.make_async_copy(acc_scratch,
-                                     acc_ref.at[:, pl.ds(w0, V)], acc_sem)
-    adma_out.start()
-    adma_out.wait()
+    if resident:
+        @pl.when(b == pl.num_programs(0) - 1)
+        def _():
+            adma_out = pltpu.make_async_copy(acc_scratch, acc_ref, acc_sem)
+            adma_out.start()
+            adma_out.wait()
+    else:
+        adma_out = pltpu.make_async_copy(acc_scratch,
+                                         acc_ref.at[:, pl.ds(w0, V)],
+                                         acc_sem)
+        adma_out.start()
+        adma_out.wait()
 
     odx_ref[:] = jnp.where(safe, px, dx)
     ody_ref[:] = jnp.where(safe, py, dy)
@@ -517,6 +549,9 @@ def _run(sp: SpeciesState, fcoef_T, acc_T, g: Grid, qsp, msp,
     nvp = fcoef_T.shape[1]
     window = min(window, nvp)
     nblocks = Np // block
+    # Resident mode: the whole (24+16, nvp) table+accumulator fits VMEM
+    # scratch -> one copy-in/copy-out instead of per-block HBM RMW.
+    resident = (24 + 16) * nvp * 4 <= RESIDENT_VMEM_BUDGET
 
     def pad(a, fill=0):
         return jnp.pad(a, (0, Np - N), constant_values=fill)
@@ -545,12 +580,14 @@ def _run(sp: SpeciesState, fcoef_T, acc_T, g: Grid, qsp, msp,
            pl.BlockSpec((1, 1), lambda b, w0: (0, 0),
                         memory_space=pltpu.SMEM)],
         scratch_shapes=[pltpu.SemaphoreType.DMA, pltpu.SemaphoreType.DMA,
-                        pltpu.VMEM((24, window), jnp.float32),
-                        pltpu.VMEM((16, window), jnp.float32)],
+                        pltpu.VMEM((24, nvp if resident else window),
+                                   jnp.float32),
+                        pltpu.VMEM((16, nvp if resident else window),
+                                   jnp.float32)],
     )
 
     kernel = functools.partial(_kernel, g, qsp, msp, max_streak, block,
-                               window, nvp)
+                               window, nvp, resident)
     out_shapes = ([jax.ShapeDtypeStruct((Np,), jnp.float32)] * 3
                   + [jax.ShapeDtypeStruct((Np,), jnp.int32)]
                   + [jax.ShapeDtypeStruct((Np,), jnp.float32)] * 3
