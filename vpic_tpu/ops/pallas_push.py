@@ -540,14 +540,30 @@ def _kernel(g: Grid, qsp, msp, max_streak, P, V, nvp, resident,
     oflag_ref[:] = jnp.where(entry_flag, 1, 0)
 
 
+def pick_block(nvp: int, window: int = DEF_WINDOW) -> int:
+    """Largest particle block that keeps the kernel inside the ~16 MB
+    VMEM budget: resident tables + the (P, V) one-hot/vals transients +
+    double-buffered particle blocks (block=2048 measured +5% over 1024
+    at 64^2 where it fits; 128^2 OOMs at 2048)."""
+    resident = (24 + 16) * nvp * 4
+    if resident > RESIDENT_VMEM_BUDGET:
+        resident = (24 + 16) * window * 4
+    for block in (2048, 1024):
+        transients = block * window * 2 * 2 + block * 17 * 4 * 2
+        if resident + transients <= (14 << 20):
+            return block
+    return 512
+
+
 @functools.partial(jax.jit, static_argnames=("g", "qsp", "msp", "max_streak",
                                              "block", "window"))
 def _run(sp: SpeciesState, fcoef_T, acc_T, g: Grid, qsp, msp,
-         max_streak=4, block=DEF_BLOCK, window=DEF_WINDOW):
+         max_streak=4, block=0, window=DEF_WINDOW):
     N = sp.capacity
-    Np = _round_up(N, block)
     nvp = fcoef_T.shape[1]
     window = min(window, nvp)
+    block = block or pick_block(nvp, window)
+    Np = _round_up(N, block)
     nblocks = Np // block
     # Resident mode: the whole (24+16, nvp) table+accumulator fits VMEM
     # scratch -> one copy-in/copy-out instead of per-block HBM RMW.
@@ -764,11 +780,14 @@ def outlier_pass(sp: SpeciesState, oflag, fcoef_T, g: Grid,
 
     # batch-process until no flags remain (a step with more outliers than
     # cap just takes extra rounds instead of silently stalling lanes);
-    # the common no-outlier step exits the while immediately.
-    out = jax.lax.while_loop(
-        lambda c: jnp.any(c[3]), body,
-        (sp, acc_small, rhob_flat, oflag == 1, pend0,
-         (zeros, zeros, zeros), jnp.int32(0)))
+    # the outer cond keeps the common no-outlier step from even building
+    # the while carry.
+    init = (sp, acc_small, rhob_flat, oflag == 1, pend0,
+            (zeros, zeros, zeros), jnp.int32(0))
+    out = jax.lax.cond(
+        jnp.any(oflag == 1),
+        lambda a: jax.lax.while_loop(lambda c: jnp.any(c[3]), body, a),
+        lambda a: a, init)
     sp, acc_small, rhob_flat, _, pend, disp, _ = out
     if return_pends:
         return sp, acc_small, rhob_flat, pend, disp
@@ -776,7 +795,7 @@ def outlier_pass(sp: SpeciesState, oflag, fcoef_T, g: Grid,
 
 
 def fused_push(sp: SpeciesState, fcoef_T, acc_T, g: Grid, qsp: float,
-               msp: float, max_streak: int = 4, block: int = DEF_BLOCK,
+               msp: float, max_streak: int = 4, block: int = 0,
                window: int = DEF_WINDOW):
     """One species push through the fused kernel (transposed layouts).
 
@@ -805,7 +824,7 @@ def expand_y_images_T(tab_T, g: Grid):
 
 def advance_p_fused(sp: SpeciesState, fcoef, g: Grid, qsp: float, msp: float,
                     acc, rhob_flat, max_streak: int = 4,
-                    block: int = DEF_BLOCK,
+                    block: int = 0,
                     window: int = DEF_WINDOW) -> PushResult:
     """Drop-in replacement for ops.push.advance_p (layout conversions at the
     boundary; used by tests -- the deck fast path drives fused_push with

@@ -206,12 +206,35 @@ def deposit_rhob(rhob_flat, g: Grid, i, dx, dy, dz, w, qsp, mask):
 
 def accumulate_rho_p(rhof_flat, sp: SpeciesState, g: Grid, qsp):
     """accumulate_rho_p (rho_p.cc:22-112): uncorrected trilinear deposit of
-    all live particles into flat rhof."""
+    all live particles into flat rhof.
+
+    Cell-moment formulation: instead of 8 scatter-adds per particle
+    (8N indexed ops dominate at ~6.4 ns each on this chip), deposit the
+    per-cell moment vector q*(1, dx, dy, dz, dxdy, dxdz, dydz, dxdydz)
+    with ONE (N, 8) row scatter-add, then combine neighboring cells'
+    moments into node values with 8 dense shifted adds.  Algebraically
+    identical (node weight q(1+-dx)(1+-dy)(1+-dz) expands into exactly
+    these moments); f32 summation order differs from the reference."""
     q = jnp.where(sp.alive, qsp * g.r8V * sp.w, 0.0)
-    weights = _trilinear_weights(sp.dx, sp.dy, sp.dz, q)
-    nodes = sp.i[:, None] + _node_offsets(g)[None, :]
-    return rhof_flat.at[nodes.reshape(-1)].add(weights.reshape(-1),
-                                               mode="drop")
+    dx, dy, dz = sp.dx, sp.dy, sp.dz
+    m = jnp.stack([q, q * dx, q * dy, q * dz, q * (dx * dy), q * (dx * dz),
+                   q * (dy * dz), q * (dx * (dy * dz))], axis=1)
+    mom = jnp.zeros((g.nv, 8), jnp.float32).at[sp.i].add(m, mode="drop")
+    mom = mom.reshape(g.NZ, g.NY, g.NX, 8)
+    rho = rhof_flat.reshape(g.NZ, g.NY, g.NX)
+    for c in (0, 1):
+        for b in (0, 1):
+            for a in (0, 1):
+                sx, sy, sz = 2 * a - 1, 2 * b - 1, 2 * c - 1
+                contrib = (mom[..., 0] + sx * mom[..., 1]
+                           + sy * mom[..., 2] + sz * mom[..., 3]
+                           + (sx * sy) * mom[..., 4]
+                           + (sx * sz) * mom[..., 5]
+                           + (sy * sz) * mom[..., 6]
+                           + (sx * sy * sz) * mom[..., 7])
+                rho = rho.at[c:, b:, a:].add(
+                    contrib[:g.NZ - c, :g.NY - b, :g.NX - a])
+    return rho.reshape(-1)
 
 
 def _ensure_varying(a, names):
