@@ -79,3 +79,20 @@ def test_multistep_deck_matches_xla(K):
     e1 = np.asarray(sim1.energies(s1))
     e2 = np.asarray(sim2.energies(s2))
     assert np.abs(e1 - e2).max() / e1.sum() < 1e-6
+
+
+def test_sort_dest_permutation_large_nb():
+    """_sort_dest must be a stable counting-sort permutation for multi-
+    digit bucket counts (nb > R exercised the hi-digit contraction that
+    once mis-computed in bf16 on real TPUs)."""
+    import numpy as np
+    from vpic_tpu.ops.pallas_push import _sort_dest
+
+    rng = np.random.default_rng(3)
+    for N, nb in ((100000, 397), (65536, 1561), (4096, 103)):
+        b = rng.integers(0, nb + 1, N).astype(np.int32)
+        dest = np.asarray(_sort_dest(jnp.asarray(b), nb, N))
+        order = np.argsort(b, kind="stable")
+        ref = np.empty(N, np.int64)
+        ref[order] = np.arange(N)
+        assert (dest == ref).all(), (N, nb)

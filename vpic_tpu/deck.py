@@ -638,7 +638,8 @@ class Simulation:
                 # gather + Boris + streak walk + MXU one-hot deposition.
                 # Wall crossers (absorb/custom faces) are pre-flagged by
                 # the kernel and replayed exactly by outlier_pass.
-                nvp = PP.table_width(g)
+                window = PP.pick_window(g, sortK)
+                nvp = PP.table_width(g, window)
                 fcoef_T = I.load_interpolator_T(f, g, nvp)
                 acc_T = jnp.zeros((16, nvp), jnp.float32)
                 acc_small = jnp.zeros((g.nv, 12), jnp.float32)
@@ -656,7 +657,7 @@ class Simulation:
                         lambda s: s, species[k])
                     sp, acc_T, oflag, _ = PP.fused_push(
                         sp, fcoef_T, acc_T, g, spp.q, spp.m,
-                        max_streak=self.max_streak)
+                        max_streak=self.max_streak, window=window)
                     # outlier lanes (stale sort / wall crossers) are rare;
                     # self-gates on a lax.cond
                     okey = (jax.random.fold_in(bkey, k)

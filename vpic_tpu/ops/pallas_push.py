@@ -121,6 +121,18 @@ def _hilo_dot(x, oh, dims, terms=2):
     return out + d(lo, oh)
 
 
+def pick_window(g: Grid, sortK: int = 4) -> int:
+    """Voxel-window width for the fused kernel: the usable corridor
+    (window - 2*GUARD, GUARD = 2*NX) must cover a block's bucket-straddle
+    span (2*BUCKET) plus the worst inter-sort drift (one y-crossing moves
+    the linear index by NX, up to sortK-1 times each way).  Too-small
+    windows flood the outlier pass -- at 128^2 a 1024 window left a
+    124-voxel margin vs a 130-voxel y-crossing and spent 36 ms/step
+    redoing flagged lanes."""
+    need = 4 * g.NX + 2 * BUCKET + 2 * (sortK - 1) * g.NX
+    return max(DEF_WINDOW, _round_up(min(need, 8192), 128))
+
+
 def table_width(g: Grid, window: int = DEF_WINDOW) -> int:
     """Padded voxel-axis width for the transposed tables (128-lane tiles;
     at least one full window so the streamed slice stays in bounds)."""
@@ -138,9 +150,11 @@ def _sort_dest(b, nb: int, N: int, C: int = 256, R: int = 128):
     transients).  Rank-among-equals within a chunk is a strict-lower
     compare matrix (O(N*C), nb-independent).  The global base offset
     E[chunk, hi, lo] (bucket offset + preceding-chunk counts) comes back
-    per particle through two more exact one-hot contractions (E < 2^24
-    splits exactly into 3 bf16 terms).  All under lax.map in chunk groups
-    so transients stay in the MB range."""
+    per particle through two more exact one-hot contractions.  Everything
+    is f32 at Precision.HIGHEST (exact: counts <= 256, E < 2^24) -- TPU
+    f32 matmuls otherwise run a single bf16 MXU pass that truncates E.
+    All under lax.map in chunk groups so transients stay in the MB
+    range."""
     Np = _round_up(N, C)
     nc = Np // C
     nhi = (nb + R) // R
@@ -160,9 +174,10 @@ def _sort_dest(b, nb: int, N: int, C: int = 256, R: int = 128):
 
     def pass1(args):
         lo, hi, bg = args
-        ohlo = (lo[:, :, None] == vlo[None, None, :]).astype(jnp.bfloat16)
-        ohhi = (hi[:, :, None] == vhi[None, None, :]).astype(jnp.bfloat16)
+        ohlo = (lo[:, :, None] == vlo[None, None, :]).astype(jnp.float32)
+        ohhi = (hi[:, :, None] == vhi[None, None, :]).astype(jnp.float32)
         cnt = jnp.einsum('gch,gcl->ghl', ohhi, ohlo,
+                         precision=jax.lax.Precision.HIGHEST,
                          preferred_element_type=jnp.float32)
         eq = (bg[:, :, None] == bg[:, None, :]) & strict[None]
         rank = jnp.sum(eq.astype(jnp.float32), axis=2)
@@ -179,16 +194,14 @@ def _sort_dest(b, nb: int, N: int, C: int = 256, R: int = 128):
     def pass2(args):
         lo, hi, Eg = args
         ohlo = (lo[:, :, None] == vlo[None, None, :]).astype(jnp.float32)
-        ohhi = (hi[:, :, None] == vhi[None, None, :]).astype(jnp.bfloat16)
-        # exact: E splits into 3 bf16 terms (8-bit mantissas cover 2^24),
-        # each contracted against an exact one-hot
-        tmp = jnp.zeros(ohlo.shape, jnp.float32)  # (g, C, R)
-        rem = Eg
-        for _ in range(3):
-            t = rem.astype(jnp.bfloat16)
-            tmp = tmp + jnp.einsum('gch,ghl->gcl', ohhi, t,
-                                   preferred_element_type=jnp.float32)
-            rem = rem - t.astype(jnp.float32)
+        ohhi = (hi[:, :, None] == vhi[None, None, :]).astype(jnp.float32)
+        # exact ONLY at HIGHEST: TPU f32 matmuls default to a single bf16
+        # MXU pass, which truncates E (< 2^24) to an 8-bit mantissa and
+        # produced garbage destinations (dup/empty slots -> cloned
+        # particles) at nb > R on real hardware
+        tmp = jnp.einsum('gch,ghl->gcl', ohhi, Eg,
+                         precision=jax.lax.Precision.HIGHEST,
+                         preferred_element_type=jnp.float32)
         return jnp.sum(tmp * ohlo, axis=2)
 
     off_base = jax.lax.map(
@@ -540,19 +553,22 @@ def _kernel(g: Grid, qsp, msp, max_streak, P, V, nvp, resident,
     oflag_ref[:] = jnp.where(entry_flag, 1, 0)
 
 
-def pick_block(nvp: int, window: int = DEF_WINDOW) -> int:
-    """Largest particle block that keeps the kernel inside the ~16 MB
-    VMEM budget: resident tables + the (P, V) one-hot/vals transients +
-    double-buffered particle blocks (block=2048 measured +5% over 1024
-    at 64^2 where it fits; 128^2 OOMs at 2048)."""
-    resident = (24 + 16) * nvp * 4
-    if resident > RESIDENT_VMEM_BUDGET:
-        resident = (24 + 16) * window * 4
+def vmem_plan(nvp: int, window: int) -> Tuple[int, bool]:
+    """(block, resident) keeping the kernel inside the ~16 MB VMEM budget:
+    resident tables + the (P, V) one-hot/vals transients + double-buffered
+    particle blocks.  Larger blocks amortize per-block overhead (2048
+    measured +5% over 1024 where it fits); resident tables beat streamed
+    windows; blocks below 1024 are invalid (the XLA 1-D f32 tile).  Try
+    the combinations best-first."""
     for block in (2048, 1024):
-        transients = block * window * 2 * 2 + block * 17 * 4 * 2
-        if resident + transients <= (14 << 20):
-            return block
-    return 512
+        for resident in (True, False):
+            tabs = (24 + 16) * (nvp if resident else window) * 4
+            trans = block * window * 2 * 2 + block * 17 * 4 * 2
+            if resident and tabs > RESIDENT_VMEM_BUDGET:
+                continue
+            if tabs + trans <= (14 << 20):
+                return block, resident
+    return 1024, False
 
 
 @functools.partial(jax.jit, static_argnames=("g", "qsp", "msp", "max_streak",
@@ -562,12 +578,10 @@ def _run(sp: SpeciesState, fcoef_T, acc_T, g: Grid, qsp, msp,
     N = sp.capacity
     nvp = fcoef_T.shape[1]
     window = min(window, nvp)
-    block = block or pick_block(nvp, window)
+    auto_block, resident = vmem_plan(nvp, window)
+    block = block or auto_block
     Np = _round_up(N, block)
     nblocks = Np // block
-    # Resident mode: the whole (24+16, nvp) table+accumulator fits VMEM
-    # scratch -> one copy-in/copy-out instead of per-block HBM RMW.
-    resident = (24 + 16) * nvp * 4 <= RESIDENT_VMEM_BUDGET
 
     def pad(a, fill=0):
         return jnp.pad(a, (0, Np - N), constant_values=fill)
@@ -577,12 +591,19 @@ def _run(sp: SpeciesState, fcoef_T, acc_T, g: Grid, qsp, msp,
     ux, uy, uz, w = pad(sp.ux), pad(sp.uy), pad(sp.uz), pad(sp.w)
     live = pad(sp.live.astype(jnp.int32))
 
-    # Window starts: centered on the block's middle-slot voxel (slot order
-    # approximates voxel order under the bucket sort, and a median-like
-    # anchor is robust to wrapped/stale outliers, which the kernel freezes
-    # and flags for the outlier pass).
+    # Window starts: centered between the block's 12.5th and 87.5th
+    # percentile voxels over LIVE lanes (slot order approximates voxel
+    # order under the bucket sort; percentile-midpoint centering covers a
+    # block whose bulk spans several buckets, which a middle-slot anchor
+    # clips on one side -- that asymmetry was flagging ~50 drift outliers
+    # per step at 64^2 and paying a ~3 ms outlier pass).  Live lanes sort
+    # before dead within a block, so percentiles index the live prefix.
     vb = vox.reshape(nblocks, block)
-    mid = vb[:, block // 2]
+    nlive = jnp.sum(live.reshape(nblocks, block), axis=1)
+    take = lambda idx: jnp.take_along_axis(vb, idx[:, None], 1)[:, 0]
+    lo = take(jnp.clip(nlive // 8, 0, block - 1))
+    hi = take(jnp.clip((7 * nlive) // 8, 0, block - 1))
+    mid = (lo + hi) // 2
     w0 = jnp.clip((mid // 128) * 128 - window // 2, 0, nvp - window)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
@@ -825,10 +846,11 @@ def expand_y_images_T(tab_T, g: Grid):
 def advance_p_fused(sp: SpeciesState, fcoef, g: Grid, qsp: float, msp: float,
                     acc, rhob_flat, max_streak: int = 4,
                     block: int = 0,
-                    window: int = DEF_WINDOW) -> PushResult:
+                    window: int = 0) -> PushResult:
     """Drop-in replacement for ops.push.advance_p (layout conversions at the
     boundary; used by tests -- the deck fast path drives fused_push with
     persistent transposed layouts instead)."""
+    window = window or pick_window(g)
     nvp = table_width(g, window)
     fcoef_T = jnp.zeros((24, nvp), jnp.float32).at[:18, :g.nv].set(fcoef.T)
     if _y_unwrapped(g):
