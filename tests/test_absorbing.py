@@ -55,18 +55,32 @@ def test_absorbing_wall_eats_pulse():
 
 
 def test_cli_runner(tmp_path):
+    # a tiny weibel via a .py deck (the default-size built-in is too slow
+    # under the interpret-mode fused kernel used on CPU); built-in NAME
+    # resolution is covered by the unknown-name error path below
+    deck = tmp_path / "small.py"
+    deck.write_text(
+        "import jax\n"
+        "jax.config.update('jax_platforms', 'cpu')\n"
+        "from vpic_tpu.models import weibel\n"
+        "def build():\n"
+        "    return weibel.build(weibel.WeibelParams(nx=8, ny=8, nppc=4,\n"
+        "                                            Lx=8.0, Ly=8.0))\n")
     env = dict(os.environ)
     env["JAX_PLATFORMS"] = "cpu"
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     out = subprocess.run(
-        [sys.executable, "-m", "vpic_tpu", "weibel", "--num-step", "2",
+        [sys.executable, "-m", "vpic_tpu", str(deck), "--num-step", "2",
          "--energies", str(tmp_path / "en"),
          "--checkpt", str(tmp_path / "ck") + ":2"],
-        capture_output=True, text=True,
-        cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
-        env=env)
+        capture_output=True, text=True, cwd=repo, env=env)
     assert out.returncode == 0, out.stderr[-500:]
     assert os.path.exists(tmp_path / "en")
     assert os.path.exists(str(tmp_path / "ck") + ".2.npz")
+    out = subprocess.run(
+        [sys.executable, "-m", "vpic_tpu", "no_such_deck"],
+        capture_output=True, text=True, cwd=repo, env=env)
+    assert out.returncode != 0 and "weibel" in out.stderr
 
 
 def test_cli_py_deck_chunked_checkpoints(tmp_path):

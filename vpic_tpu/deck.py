@@ -606,10 +606,26 @@ class Simulation:
         u_collide = self.user_particle_collisions
 
         from .ops import pallas_push as PP
+        from .ops import pallas_push3d as PP3
         max_cap = max((st.params.capacity for st in self.species), default=0)
-        use_fused = (PP.supports(g, max_cap)
-                     if self.use_pallas == "auto" else bool(self.use_pallas))
+        # the 3-D kernel in interpret mode (no real TPU) is too slow for
+        # routine CPU testing: auto-enable on TPU only; use_pallas=True
+        # forces it anywhere (the dedicated parity tests do)
+        on_tpu = jax.devices()[0].platform == "tpu"
+        fused3 = PP3.supports3d(g, max_cap) and (
+            on_tpu or self.use_pallas is True)
+        fused2 = (not fused3) and PP.supports(g, max_cap)
+        if self.use_pallas == "auto":
+            use_fused = fused2 or fused3
+        else:
+            use_fused = bool(self.use_pallas) and (fused2 or fused3)
         sortK = max(1, self.pallas_sort_interval)
+        if fused3:
+            # sorting every step makes chart exits impossible (<= 1
+            # face crossing per axis per step) -> zero outlier churn;
+            # measured 33.1 vs 16.5 Mpush/s at sortK 1 vs 2 on 32^3
+            sortK = 1
+
 
         def advance(state: SimState) -> SimState:
             f = state.fields
@@ -638,10 +654,18 @@ class Simulation:
                 # gather + Boris + streak walk + MXU one-hot deposition.
                 # Wall crossers (absorb/custom faces) are pre-flagged by
                 # the kernel and replayed exactly by outlier_pass.
-                window = PP.pick_window(g, sortK)
-                nvp = PP.table_width(g, window)
-                fcoef_T = I.load_interpolator_T(f, g, nvp)
-                acc_T = jnp.zeros((16, nvp), jnp.float32)
+                if fused3:
+                    # 3-D brick-chart kernel: canonical table + chart copy
+                    window = PP.DEF_WINDOW
+                    nvp = PP.table_width(g, window)
+                    fcoef_T = I.load_interpolator_T(f, g, nvp)
+                    tab_chart = PP3.to_chart_T(fcoef_T, g)
+                    acc_T = jnp.zeros((16, PP3.chart_width(g)), jnp.float32)
+                else:
+                    window = PP.pick_window(g, sortK)
+                    nvp = PP.table_width(g, window)
+                    fcoef_T = I.load_interpolator_T(f, g, nvp)
+                    acc_T = jnp.zeros((16, nvp), jnp.float32)
                 acc_small = jnp.zeros((g.nv, 12), jnp.float32)
                 bkey = ekey = None
                 if (g.sharded or self.pbc_handlers or emitters
@@ -650,32 +674,43 @@ class Simulation:
                         jax.random.fold_in(rng, step), 3)
                 pends, disps = [], []
                 for k, spp in enumerate(sp_params):
-                    sp = jax.lax.cond(
-                        step % sortK == 0,
-                        lambda s: PP.bucket_sort_p(
-                            PP.remap_ghost_voxels(s, g), g),
-                        lambda s: s, species[k])
-                    sp, acc_T, oflag, _ = PP.fused_push(
-                        sp, fcoef_T, acc_T, g, spp.q, spp.m,
-                        max_streak=self.max_streak, window=window)
+                    if fused3:
+                        sp = jax.lax.cond(
+                            step % sortK == 0,
+                            lambda s: PP3.brick_sort_p(s, g),
+                            lambda s: s, species[k])
+                        sp, acc_T, oflag, _ = PP3.fused_push3d(
+                            sp, tab_chart, acc_T, g, spp.q, spp.m,
+                            max_streak=self.max_streak)
+                    else:
+                        sp = jax.lax.cond(
+                            step % sortK == 0,
+                            lambda s: PP.bucket_sort_p(
+                                PP.remap_ghost_voxels(s, g), g),
+                            lambda s: s, species[k])
+                        sp, acc_T, oflag, _ = PP.fused_push(
+                            sp, fcoef_T, acc_T, g, spp.q, spp.m,
+                            max_streak=self.max_streak, window=window)
                     # outlier lanes (stale sort / wall crossers) are rare;
                     # self-gates on a lax.cond
                     okey = (jax.random.fold_in(bkey, k)
                             if bkey is not None else None)
+                    remap3 = (lambda s: s) if fused3 else None
                     if g.sharded:
                         # remote/custom pends go to the deck-level
                         # boundary_p below (migration + edge BCs)
                         sp, acc_small, rhob, pend, disp = PP.outlier_pass(
                             sp, oflag, fcoef_T, g, spp.q, spp.m,
                             acc_small, rhob, self.max_streak,
-                            return_pends=True)
+                            return_pends=True, remap_fn=remap3)
                         pends.append(pend)
                         disps.append(disp)
                     else:
                         sp, acc_small, rhob = PP.outlier_pass(
                             sp, oflag, fcoef_T, g, spp.q, spp.m,
                             acc_small, rhob, self.max_streak, spp=spp,
-                            custom_handlers=self.pbc_handlers, key=okey)
+                            custom_handlers=self.pbc_handlers, key=okey,
+                            remap_fn=remap3)
                     species[k] = sp
                 # --- emission / user injection (advance.cc:58-60, before
                 # boundary_p like the reference): runs on the standard-
@@ -696,6 +731,8 @@ class Simulation:
                         g, num_comm_round=self.num_comm_round,
                         max_streak=self.max_streak,
                         custom_handlers=self.pbc_handlers, key=bkey)
+                if fused3:
+                    acc_T = PP3.fold_chart_acc(acc_T, g)
                 acc_T = PP.fold_ghost_acc_T(acc_T, g)
                 f = F.clear_jf(f)
                 f = I.unload_accumulator_T(f, acc_T, g, extra=acc_small)

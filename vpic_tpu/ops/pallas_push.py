@@ -755,7 +755,8 @@ def _scatter_back(sp: SpeciesState, s2: SpeciesState, idx, valid):
 def outlier_pass(sp: SpeciesState, oflag, fcoef_T, g: Grid,
                  qsp: float, msp: float, acc_small, rhob_flat,
                  max_streak: int = 4, cap: int = 0, spp=None,
-                 custom_handlers=None, key=None, return_pends: bool = False):
+                 custom_handlers=None, key=None, return_pends: bool = False,
+                 remap_fn=None, encode_fn=None):
     """Redo entry-guard-flagged lanes through the general XLA advance_p on
     a compacted fixed-size buffer, under a lax.cond so the common
     no-outlier step pays (nearly) nothing.  Two lane classes land here,
@@ -771,10 +772,12 @@ def outlier_pass(sp: SpeciesState, oflag, fcoef_T, g: Grid,
     pend0 = jnp.full((N,), DONE, jnp.int32)
     zeros = jnp.zeros((N,), jnp.float32)
 
+    remap = remap_fn or (lambda s: remap_ghost_voxels(s, g))
+
     def body(carry):
         sp, acc_small, rhob_flat, flags, pend, disp, it = carry
         small, _, idx, valid = _compact(sp, flags, (), cap)
-        small = remap_ghost_voxels(small, g)
+        small = remap(small)
         rows = fcoef_T[:, small.i].T                   # (cap, 18)
         res = advance_p(small, None, g, qsp, msp, acc_small, rhob_flat,
                         max_streak=max_streak, rows=rows)
@@ -795,6 +798,8 @@ def outlier_pass(sp: SpeciesState, oflag, fcoef_T, g: Grid,
                 rhob2, g, num_comm_round=0, max_streak=max_streak,
                 custom_handlers=custom_handlers,
                 key=jax.random.fold_in(key, it))
+        if encode_fn is not None:
+            s2 = encode_fn(s2)   # canonical -> chart index for storage
         sp = _scatter_back(sp, s2, idx, valid)
         flags = flags.at[tgt].set(False, mode="drop")
         return sp, acc2, rhob2, flags, pend, disp, it + 1

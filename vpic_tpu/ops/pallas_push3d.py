@@ -1,0 +1,568 @@
+"""Fused Pallas advance_p for 3-D grids: brick charts.
+
+The 2-D kernel (ops/pallas_push.py) relies on crossings moving the linear
+voxel index by at most +-NX, so a contiguous index window can hold a whole
+walk.  In 3-D a z-crossing moves the index by +-NX*NY, which no affordable
+window covers.  This module re-tiles the voxel space into 8x8x8 BRICKS,
+each stored WITH its own 1-deep halo as a contiguous 10x10x10 = 1000-cell
+chart padded to 1024 lanes:
+
+* The interpolator table and accumulator are laid out chart-major
+  (rows, nbricks*1024) by static sliced stacks (pure dense ops); halo
+  cells duplicate neighbor-brick (or periodic-wrap ghost) data.  Halo
+  deposits fold back onto canonical cells by the adjoint sliced adds.
+* Particle indices stay CANONICAL everywhere.  The kernel derives each
+  lane's chart-local cell from (canonical voxel, block's brick): lanes
+  whose cell is the brick interior or its 1-deep halo are in-chart
+  (halo residency -- a crosser not yet re-sorted -- is implicit); walks
+  move chart-locally by +-1 cell per axis, always inside the 1024-lane
+  window, and write back canonical indices (periodic wrap applied).
+  Nothing outside the kernel ever sees a chart index, so sharding,
+  rho/hydro, collisions, dumps, and checkpointing are untouched.
+* The brick counting sort quantizes each brick's slot range up to the
+  kernel block size so every particle block maps to exactly one brick
+  (w0 = brick * 1024); pad slots are dead lanes.  If quantization would
+  overflow capacity, offsets fall back to tight packing and straddling
+  lanes are flagged to the exact outlier pass.
+* Pre-flagged lanes (chart exits from the outer shell, absorbing/custom/
+  remote wall crossings) are frozen untouched and replayed exactly by
+  ops/pallas_push.outlier_pass on canonical voxels.  Global reflecting
+  walls bounce in-kernel; periodic wrap needs no in-kernel logic (the
+  halo cell IS the wrapped copy).
+
+Reference parity: replaces advance_p/move_p (species_advance) + the
+accumulator machinery (sf_interface) for nz > 1 decks, as the 2-D kernel
+does for nz == 1.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..grid import P_PERIODIC, REFLECT_PARTICLES, Grid
+from ..state import SpeciesState
+from .push import BIG, ONE_THIRD, TWO_FIFTEENTHS
+from .pallas_push import _eff_bc, _hilo_dot, _round_up
+
+B3 = 8                      # brick side (cells)
+C3 = B3 + 2                 # chart side (cells incl 1-deep halo)
+S_USED = C3 * C3 * C3       # 1000
+S = 1024                    # chart lanes (padded)
+
+
+def supports3d(g: Grid, max_capacity: int = 0) -> bool:
+    """Brick charts need every axis divisible by the brick side; particle
+    counts must stay below 2^24 per species (the sort's exact-f32 bound).
+    All particle BCs are allowed (reflect in-kernel; periodic via halo
+    copies; absorb/custom/remote pre-flagged like the 2-D kernel)."""
+    if g.nz <= 1:
+        return False
+    for n in (g.nx, g.ny, g.nz):
+        # divisible bricks; >= 2 bricks per axis so the nearest-image
+        # wrap in the kernel's canonical->chart mapping is unambiguous
+        if n % B3 or n < 2 * B3:
+            return False
+    if max_capacity and max_capacity >= (1 << 24):
+        return False
+    return g.nv >= 4096
+
+
+def _nb(g: Grid) -> Tuple[int, int, int]:
+    return g.nx // B3, g.ny // B3, g.nz // B3
+
+
+def nbricks(g: Grid) -> int:
+    nbx, nby, nbz = _nb(g)
+    return nbx * nby * nbz
+
+
+def chart_width(g: Grid) -> int:
+    return nbricks(g) * S
+
+
+def to_chart_T(flat_T, g: Grid):
+    """(rows, >=nv) canonical flat table -> (rows, nbricks*S) chart table
+    via static sliced stacks (dense; no gathers).  The canonical table's
+    ghost layers must already hold the right values (periodic wrap or
+    zeros), which ops/interp.load_interpolator_T guarantees."""
+    nbx, nby, nbz = _nb(g)
+    rows = flat_T.shape[0]
+    a = flat_T[:, :g.nv].reshape(rows, g.NZ, g.NY, g.NX)
+    a = jnp.stack([a[:, i * B3:i * B3 + C3] for i in range(nbz)], axis=1)
+    a = jnp.stack([a[:, :, :, j * B3:j * B3 + C3] for j in range(nby)],
+                  axis=2)                     # (R, nbz, nby, cz, cy, NX)
+    a = jnp.stack([a[..., k * B3:k * B3 + C3] for k in range(nbx)],
+                  axis=3)                     # (R, nbz, nby, nbx, cz, cy, cx)
+    a = a.reshape(rows, nbricks(g), S_USED)
+    return jnp.pad(a, ((0, 0), (0, 0), (0, S - S_USED))).reshape(rows, -1)
+
+
+def fold_chart_acc(acc_chart, g: Grid):
+    """Adjoint of to_chart_T for the accumulator: overlapping halo deposits
+    add back onto their canonical ghosted cells.  Returns (rows, NZ*NY*NX)
+    canonical flat; periodic ghost-plane folding happens downstream
+    (pallas_push.fold_ghost_acc_T works on this layout)."""
+    nbx, nby, nbz = _nb(g)
+    rows = acc_chart.shape[0]
+    a = acc_chart.reshape(rows, nbricks(g), S)[:, :, :S_USED]
+    a = a.reshape(rows, nbz, nby, nbx, C3, C3, C3)
+    ox = jnp.zeros((rows, nbz, nby, C3, C3, g.NX), acc_chart.dtype)
+    for k in range(nbx):
+        ox = ox.at[..., k * B3:k * B3 + C3].add(a[:, :, :, k])
+    oy = jnp.zeros((rows, nbz, C3, g.NY, g.NX), acc_chart.dtype)
+    for j in range(nby):
+        oy = oy.at[:, :, :, j * B3:j * B3 + C3, :].add(ox[:, :, j])
+    oz = jnp.zeros((rows, g.NZ, g.NY, g.NX), acc_chart.dtype)
+    for i in range(nbz):
+        oz = oz.at[:, i * B3:i * B3 + C3].add(oy[:, i])
+    return oz.reshape(rows, -1)
+
+
+def brick_of(sp_i, g: Grid):
+    """Canonical voxel -> home brick id (live-lane use only)."""
+    nbx, nby, nbz = _nb(g)
+    zi, r = jnp.divmod(sp_i, g.sz)
+    yi, xi = jnp.divmod(r, g.sy)
+    return ((xi - 1) // B3 + nbx * ((yi - 1) // B3
+                                    + nby * ((zi - 1) // B3)))
+
+
+def brick_sort_p(sp: SpeciesState, g: Grid, quantum: int = 1024):
+    """Counting sort by home brick with per-brick slot ranges quantized up
+    to the kernel block size (every block -> one brick).  Dead lanes are
+    dropped (they carry no information); pad slots become dead.  Falls
+    back to tight packing when quantization would overflow capacity."""
+    from .push import gather_rows
+    N = sp.capacity
+    nb = nbricks(g)
+    b = jnp.where(sp.live, brick_of(sp.i, g), nb)
+    src = _sort_src_q(b, nb, N, quantum)
+    moved = gather_rows(jnp.maximum(src, 0),
+                        sp.dx, sp.dy, sp.dz, sp.ux, sp.uy, sp.uz,
+                        sp.w, sp.i, sp.live)
+    dx, dy, dz, ux, uy, uz, w, i, live = moved
+    live = live & (src >= 0)
+    return sp.replace(dx=dx, dy=dy, dz=dz, ux=ux, uy=uy, uz=uz,
+                      w=jnp.where(live, w, 0.0), i=i, live=live)
+
+
+def _sort_src_q(b, nb: int, N: int, quantum: int):
+    """Per-OUTPUT-slot source index for the quantized brick sort (-1 for
+    gap/dead slots).  Same machinery as pallas_push._sort_dest (digit
+    one-hots at Precision.HIGHEST) with quantized brick offsets; the dead
+    key parks at N and is dropped."""
+    C, R = 256, 128
+    Np = _round_up(N, C)
+    nc = Np // C
+    nhi = (nb + R) // R
+    per = C * (R + nhi) * 6 + C * C + C * R * 4
+    group = max(1, min(nc, (1 << 23) // per))
+    while nc % group:
+        group -= 1
+    bp = jnp.pad(b, (0, Np - N), constant_values=nb)
+    blo = (bp % R).reshape(nc // group, group, C)
+    bhi = (bp // R).reshape(nc // group, group, C)
+    bc = bp.reshape(nc // group, group, C)
+    lane = jnp.arange(C, dtype=jnp.int32)
+    strict = lane[None, :] < lane[:, None]
+    vlo = jnp.arange(R, dtype=bp.dtype)
+    vhi = jnp.arange(nhi, dtype=bp.dtype)
+
+    def pass1(args):
+        lo, hi, bg = args
+        ohlo = (lo[:, :, None] == vlo[None, None, :]).astype(jnp.float32)
+        ohhi = (hi[:, :, None] == vhi[None, None, :]).astype(jnp.float32)
+        cnt = jnp.einsum('gch,gcl->ghl', ohhi, ohlo,
+                         precision=jax.lax.Precision.HIGHEST,
+                         preferred_element_type=jnp.float32)
+        eq = (bg[:, :, None] == bg[:, None, :]) & strict[None]
+        rank = jnp.sum(eq.astype(jnp.float32), axis=2)
+        return cnt, rank
+
+    counts, rank = jax.lax.map(pass1, (blo, bhi, bc))
+    counts = counts.reshape(nc, nhi, R)
+    rank = rank.reshape(Np)
+    chunk_prefix = jnp.cumsum(counts, axis=0) - counts
+    tot = counts.sum(axis=0).reshape(-1)
+    totb = tot[:nb]
+    totq = jnp.ceil(totb / quantum) * quantum
+    qoff = jnp.cumsum(totq) - totq
+    ok = (jnp.sum(totq) <= N) if nb else jnp.bool_(True)
+    toff = jnp.cumsum(totb) - totb
+    off = jnp.where(ok, qoff, toff)
+    offsets = jnp.concatenate(
+        [off, jnp.full((nhi * R - nb,), float(N), jnp.float32)])
+    E = offsets.reshape(1, nhi, R) + chunk_prefix
+
+    def pass2(args):
+        lo, hi, Eg = args
+        ohlo = (lo[:, :, None] == vlo[None, None, :]).astype(jnp.float32)
+        ohhi = (hi[:, :, None] == vhi[None, None, :]).astype(jnp.float32)
+        tmp = jnp.einsum('gch,ghl->gcl', ohhi, Eg,
+                         precision=jax.lax.Precision.HIGHEST,
+                         preferred_element_type=jnp.float32)
+        return jnp.sum(tmp * ohlo, axis=2)
+
+    off_base = jax.lax.map(
+        pass2, (blo, bhi, E.reshape(nc // group, group, nhi, R))
+    ).reshape(Np)
+    dest = jnp.minimum(off_base + rank, float(N)).astype(jnp.int32)[:N]
+    return jnp.full((N,), -1, jnp.int32).at[dest].set(
+        jax.lax.iota(jnp.int32, N), mode="drop")
+
+
+def _kernel3d(g: Grid, qsp, msp, max_streak, P, nbx, nby, nbz,
+              w0_ref,
+              dx_ref, dy_ref, dz_ref, vox_ref, ux_ref, uy_ref, uz_ref,
+              w_ref, live_ref, tab_ref, acc_in_ref,
+              odx_ref, ody_ref, odz_ref, ovox_ref, oux_ref, ouy_ref,
+              ouz_ref, oflag_ref,
+              acc_ref, oow_ref, tab_sem, acc_sem, tab_scratch, acc_scratch):
+    V = S
+    bnum = pl.program_id(0)
+    w0 = pl.multiple_of(w0_ref[bnum], S)
+
+    tdma = pltpu.make_async_copy(tab_ref.at[:, pl.ds(w0, V)], tab_scratch,
+                                 tab_sem)
+    tdma.start()
+
+    qdt_2mc = (qsp * g.dt) / (2.0 * msp * g.cvac)
+    cdt = (g.cvac * g.dt * g.rdx, g.cvac * g.dt * g.rdy,
+           g.cvac * g.dt * g.rdz)
+
+    @pl.when(bnum == 0)
+    def _():
+        oow_ref[0, 0] = 0
+    adma_in = pltpu.make_async_copy(acc_ref.at[:, pl.ds(w0, V)],
+                                    acc_scratch, acc_sem)
+    adma_in.start()
+    tdma.wait()
+
+    dx = dx_ref[:]
+    dy = dy_ref[:]
+    dz = dz_ref[:]
+    vox = vox_ref[:]
+    ux = ux_ref[:]
+    uy = uy_ref[:]
+    uz = uz_ref[:]
+    w = w_ref[:]
+    live = live_ref[:] > 0
+
+    lane = jax.lax.broadcasted_iota(jnp.int32, (P, V), 1)
+    # canonical -> chart-local relative to this block's brick; periodic
+    # axes wrap to the nearest image so edge-brick halos resolve
+    brick = w0 // S
+    BX = brick - nbx * (brick // nbx)
+    BY = (brick // nbx) - nby * (brick // (nbx * nby))
+    BZ = brick // (nbx * nby)
+    gz = vox // g.sz
+    r = vox - gz * g.sz
+    gy = r // g.sy
+    gx = r - gy * g.sy
+
+    def rel(gc, base, n_ax, ax):
+        lr = gc - base
+        if _eff_bc(g, ax, -1) == P_PERIODIC and g.topology[ax] == 1:
+            lr = jnp.where(lr > n_ax - C3, lr - n_ax, lr)
+            lr = jnp.where(lr < -(n_ax - C3), lr + n_ax, lr)
+        return lr
+
+    lx = rel(gx, BX * B3, g.nx, 0)
+    ly = rel(gy, BY * B3, g.ny, 1)
+    lz = rel(gz, BZ * B3, g.nz, 2)
+    in_chart = (live & (lx >= 0) & (lx < C3) & (ly >= 0) & (ly < C3)
+                & (lz >= 0) & (lz < C3))
+    loc = lx + C3 * (ly + C3 * lz)
+
+    safe = in_chart
+    local = jnp.where(safe, loc, -1)[:, None]
+    onehot = (lane == local).astype(jnp.bfloat16)
+
+    tab_win = tab_scratch[:, :]
+    rows = _hilo_dot(tab_win, onehot, ((1,), (1,)))
+
+    hax = qdt_2mc * ((rows[0] + dy * rows[1]) + dz * (rows[2] + dy * rows[3]))
+    hay = qdt_2mc * ((rows[4] + dz * rows[5]) + dx * (rows[6] + dz * rows[7]))
+    haz = qdt_2mc * ((rows[8] + dx * rows[9]) + dy * (rows[10] + dx * rows[11]))
+    cbx = rows[12] + dx * rows[13]
+    cby = rows[14] + dy * rows[15]
+    cbz = rows[16] + dz * rows[17]
+
+    ux = ux + hax
+    uy = uy + hay
+    uz = uz + haz
+    v0 = qdt_2mc * jax.lax.rsqrt(1.0 + (ux * ux + (uy * uy + uz * uz)))
+    v1 = cbx * cbx + (cby * cby + cbz * cbz)
+    v2 = (v0 * v0) * v1
+    v3 = v0 * (1.0 + v2 * (ONE_THIRD + v2 * TWO_FIFTEENTHS))
+    v4 = v3 / (1.0 + v1 * (v3 * v3))
+    v4 = v4 + v4
+    t0 = ux + v3 * (uy * cbz - uz * cby)
+    t1 = uy + v3 * (uz * cbx - ux * cbz)
+    t2 = uz + v3 * (ux * cby - uy * cbx)
+    ux = ux + v4 * (t1 * cbz - t2 * cby)
+    uy = uy + v4 * (t2 * cbx - t0 * cbz)
+    uz = uz + v4 * (t0 * cby - t1 * cbx)
+    ux = ux + hax
+    uy = uy + hay
+    uz = uz + haz
+
+    rg = jax.lax.rsqrt(1.0 + (ux * ux + (uy * uy + uz * uz)))
+    dpx = ux * cdt[0] * rg
+    dpy = uy * cdt[1] * rg
+    dpz = uz * cdt[2] * rg
+
+    # Pre-flag (before ANY deposit); frozen lanes go to the exact outlier
+    # pass: chart exits from the outer shell, and absorbing/custom/remote
+    # global-wall crossings.  Periodic needs nothing (halo IS the wrapped
+    # copy); reflect bounces in-kernel in the walk below.
+    eps = 1e-5
+    flag = jnp.zeros_like(safe)
+    for ax, (lcoord, gcoord, pos, dp, n_ax) in enumerate((
+            (lx, gx, dx, dpx, g.nx), (ly, gy, dy, dpy, g.ny),
+            (lz, gz, dz, dpz, g.nz))):
+        p_new = pos + 2.0 * dp
+        below = p_new < -1.0 + eps
+        above = p_new > 1.0 - eps
+        refl_lo = _eff_bc(g, ax, -1) == REFLECT_PARTICLES
+        refl_hi = _eff_bc(g, ax, 1) == REFLECT_PARTICLES
+        exit_lo = below & (lcoord == 0) & ~(
+            jnp.full_like(below, refl_lo) & (gcoord == 1))
+        exit_hi = above & (lcoord == C3 - 1) & ~(
+            jnp.full_like(above, refl_hi) & (gcoord == n_ax))
+        flag = flag | exit_lo | exit_hi
+        for side, out_m in ((-1, below), (1, above)):
+            bc = _eff_bc(g, ax, side)
+            if bc in (P_PERIODIC, REFLECT_PARTICLES):
+                continue
+            edge = 1 if side < 0 else n_ax
+            flag = flag | ((gcoord == edge) & out_m)
+    safe = safe & ~flag
+    entry_flag = live & ~safe
+
+    q0 = jnp.where(safe, qsp * w, 0.0)
+    active = safe
+    adma_in.wait()
+
+    px, py, pz = dx, dy, dz
+    lcs = [lx, ly, lz]
+    gcs = [gx, gy, gz]
+    for round_idx in range(max_streak):
+        dirx = jnp.where(dpx > 0, 1.0, -1.0)
+        diry = jnp.where(dpy > 0, 1.0, -1.0)
+        dirz = jnp.where(dpz > 0, 1.0, -1.0)
+        s0 = jnp.where(dpx == 0, BIG, (dirx - px) / jnp.where(dpx == 0, 1, dpx))
+        s1 = jnp.where(dpy == 0, BIG, (diry - py) / jnp.where(dpy == 0, 1, dpy))
+        s2 = jnp.where(dpz == 0, BIG, (dirz - pz) / jnp.where(dpz == 0, 1, dpz))
+        v3w = jnp.full_like(s0, 2.0)
+        axis = jnp.full_like(lx, 3)
+        for k, sk in enumerate((s0, s1, s2)):
+            tk = sk < v3w
+            v3w = jnp.where(tk, sk, v3w)
+            axis = jnp.where(tk, k, axis)
+        frac = 0.5 * v3w
+        sdx = dpx * frac
+        sdy = dpy * frac
+        sdz = dpz * frac
+        midx = px + sdx
+        midy = py + sdy
+        midz = pz + sdz
+
+        qa = jnp.where(active, q0, 0.0)
+        v5 = qa * sdx * sdy * sdz * ONE_THIRD
+
+        def quad(qu, dY, dZ):
+            a1 = qu * dY
+            a0 = qu - a1
+            a1 = a1 + qu
+            c = 1.0 + dZ
+            a2 = a0 * c
+            a3 = a1 * c
+            d = 1.0 - dZ
+            return (a0 * d + v5, a1 * d - v5, a2 - v5, a3 + v5)
+
+        jxs = quad(qa * sdx, midy, midz)
+        jys = quad(qa * sdy, midz, midx)
+        jzs = quad(qa * sdz, midx, midy)
+        zero4 = (jnp.zeros_like(sdx),) * 4
+        vals = jnp.stack(jxs + jys + jzs + zero4, axis=0)
+
+        loc_cur = lcs[0] + C3 * (lcs[1] + C3 * lcs[2])
+
+        def deposit(vals=vals, loc_cur=loc_cur, active=active):
+            oh = (lane == loc_cur[:, None]).astype(jnp.bfloat16)
+            acc_scratch[:, :] += _hilo_dot(vals, oh, ((1,), (0,)))
+            oow_ref[0, 0] += jnp.sum(jnp.where(
+                active & ((loc_cur < 0) | (loc_cur >= V)), 1, 0))
+
+        if round_idx == 0:
+            deposit()
+        else:
+            pl.when(jnp.any(active))(deposit)
+
+        upd = lambda o, n: jnp.where(active, n, o)
+        dpx = upd(dpx, dpx - sdx)
+        dpy = upd(dpy, dpy - sdy)
+        dpz = upd(dpz, dpz - sdz)
+        px = upd(px, px + sdx + sdx)
+        py = upd(py, py + sdy + sdy)
+        pz = upd(pz, pz + sdz + sdz)
+
+        ended = axis == 3
+        crossing = active & ~ended
+        active = crossing
+
+        for ax in range(3):
+            m = crossing & (axis == ax)
+            pp = (px, py, pz)[ax]
+            dd = (dirx, diry, dirz)[ax]
+            pn = jnp.where(m, dd, pp)
+            if ax == 0:
+                px = pn
+            elif ax == 1:
+                py = pn
+            else:
+                pz = pn
+
+        # Face handling: reflect at global walls bounces in place; other
+        # crossings move one chart cell (chart exits and non-reflect walls
+        # were pre-flagged; stray ULP cases park at the face).
+        for ax in range(3):
+            m = crossing & (axis == ax)
+            n_ax = (g.nx, g.ny, g.nz)[ax]
+            d = (dirx, diry, dirz)[ax]
+            up = d > 0
+            lc = lcs[ax]
+            gc = gcs[ax]
+            refl_lo = _eff_bc(g, ax, -1) == REFLECT_PARTICLES
+            refl_hi = _eff_bc(g, ax, 1) == REFLECT_PARTICLES
+            bounce = m & ((jnp.full_like(m, refl_lo) & ~up & (gc == 1))
+                          | (jnp.full_like(m, refl_hi) & up & (gc == n_ax)))
+            newl = jnp.where(up, lc + 1, lc - 1)
+            exit_chart = m & ~bounce & ((newl < 0) | (newl > C3 - 1))
+            move = m & ~bounce & ~exit_chart
+            step1 = jnp.where(up, 1, -1)
+            lcs[ax] = jnp.where(move, lc + step1, lc)
+            gcs[ax] = jnp.where(move, gc + step1, gc)
+            if ax == 0:
+                px = jnp.where(move, -px, px)
+                ux = jnp.where(bounce, -ux, ux)
+                dpx = jnp.where(bounce, -dpx, jnp.where(exit_chart, 0.0,
+                                                        dpx))
+            elif ax == 1:
+                py = jnp.where(move, -py, py)
+                uy = jnp.where(bounce, -uy, uy)
+                dpy = jnp.where(bounce, -dpy, jnp.where(exit_chart, 0.0,
+                                                        dpy))
+            else:
+                pz = jnp.where(move, -pz, pz)
+                uz = jnp.where(bounce, -uz, uz)
+                dpz = jnp.where(bounce, -dpz, jnp.where(exit_chart, 0.0,
+                                                        dpz))
+
+    adma_out = pltpu.make_async_copy(acc_scratch,
+                                     acc_ref.at[:, pl.ds(w0, V)], acc_sem)
+    adma_out.start()
+    adma_out.wait()
+
+    # write back canonical voxel (wrap periodic axes; non-periodic walks
+    # cannot leave [1, n] by construction)
+    gxn, gyn, gzn = gcs
+    if _eff_bc(g, 0, -1) == P_PERIODIC and g.topology[0] == 1:
+        gxn = (gxn - 1) % g.nx + 1
+    if _eff_bc(g, 1, -1) == P_PERIODIC and g.topology[1] == 1:
+        gyn = (gyn - 1) % g.ny + 1
+    if _eff_bc(g, 2, -1) == P_PERIODIC and g.topology[2] == 1:
+        gzn = (gzn - 1) % g.nz + 1
+    vox_new = gxn + g.NX * (gyn + g.NY * gzn)
+    odx_ref[:] = jnp.where(safe, px, dx)
+    ody_ref[:] = jnp.where(safe, py, dy)
+    odz_ref[:] = jnp.where(safe, pz, dz)
+    ovox_ref[:] = jnp.where(safe, vox_new, vox)
+    oux_ref[:] = jnp.where(safe, ux, ux_ref[:])
+    ouy_ref[:] = jnp.where(safe, uy, uy_ref[:])
+    ouz_ref[:] = jnp.where(safe, uz, uz_ref[:])
+    oflag_ref[:] = jnp.where(entry_flag, 1, 0)
+
+
+@functools.partial(jax.jit, static_argnames=("g", "qsp", "msp",
+                                             "max_streak", "block"))
+def _run3d(sp: SpeciesState, tab_chart, acc_chart, g: Grid, qsp, msp,
+           max_streak=4, block=1024):
+    N = sp.capacity
+    Np = _round_up(N, block)
+    nblocks = Np // block
+    nbx, nby, nbz = _nb(g)
+    nvp = tab_chart.shape[1]
+
+    def pad(a, fill=0):
+        return jnp.pad(a, (0, Np - N), constant_values=fill)
+
+    dx, dy, dz = pad(sp.dx), pad(sp.dy), pad(sp.dz)
+    vox = pad(sp.i)
+    ux, uy, uz, w = pad(sp.ux), pad(sp.uy), pad(sp.uz), pad(sp.w)
+    live = pad(sp.live.astype(jnp.int32))
+
+    # every block maps to the brick of its median live lane (the quantized
+    # sort makes blocks single-brick; tight-packed fallback blocks just
+    # flag their minority lanes)
+    livb = live.reshape(nblocks, block)
+    vb = vox.reshape(nblocks, block)
+    nlive = jnp.sum(livb, axis=1)
+    mid = jnp.take_along_axis(
+        vb, jnp.clip(nlive // 2, 0, block - 1)[:, None], 1)[:, 0]
+    w0 = jnp.clip(brick_of(mid, g) * S, 0, nvp - S)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(nblocks,),
+        in_specs=[pl.BlockSpec((block,), lambda b, w0: (b,))] * 9
+        + [pl.BlockSpec(memory_space=pltpu.ANY),
+           pl.BlockSpec(memory_space=pltpu.ANY)],
+        out_specs=[pl.BlockSpec((block,), lambda b, w0: (b,))] * 8
+        + [pl.BlockSpec(memory_space=pltpu.ANY),
+           pl.BlockSpec((1, 1), lambda b, w0: (0, 0),
+                        memory_space=pltpu.SMEM)],
+        scratch_shapes=[pltpu.SemaphoreType.DMA, pltpu.SemaphoreType.DMA,
+                        pltpu.VMEM((24, S), jnp.float32),
+                        pltpu.VMEM((16, S), jnp.float32)],
+    )
+    kernel = functools.partial(_kernel3d, g, qsp, msp, max_streak, block,
+                               nbx, nby, nbz)
+    out_shapes = ([jax.ShapeDtypeStruct((Np,), jnp.float32)] * 3
+                  + [jax.ShapeDtypeStruct((Np,), jnp.int32)]
+                  + [jax.ShapeDtypeStruct((Np,), jnp.float32)] * 3
+                  + [jax.ShapeDtypeStruct((Np,), jnp.int32)]
+                  + [jax.ShapeDtypeStruct((16, nvp), jnp.float32),
+                     jax.ShapeDtypeStruct((1, 1), jnp.int32)])
+    interpret = jax.devices()[0].platform != "tpu"
+    outs = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=out_shapes,
+        interpret=interpret,
+        input_output_aliases={11: 8},
+        compiler_params=None if interpret else pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",)),
+    )(w0, dx, dy, dz, vox, ux, uy, uz, w, live, tab_chart, acc_chart)
+
+    (odx, ody, odz, ovox, oux, ouy, ouz, oflag, acc_out, oow) = outs
+    new_sp = sp.replace(dx=odx[:N], dy=ody[:N], dz=odz[:N],
+                        i=jnp.where(sp.live, ovox[:N], sp.i),
+                        ux=oux[:N], uy=ouy[:N], uz=ouz[:N])
+    return new_sp, acc_out, oflag[:N], oow[0, 0]
+
+
+def fused_push3d(sp: SpeciesState, tab_chart, acc_chart, g: Grid,
+                 qsp: float, msp: float, max_streak: int = 4,
+                 block: int = 1024):
+    """One species push through the 3-D brick-chart kernel (canonical
+    voxel indices in and out).  Returns (species, acc_chart, oflag, oow)."""
+    return _run3d(sp, tab_chart, acc_chart, g, float(qsp), float(msp),
+                  max_streak, block)
