@@ -60,7 +60,7 @@ from .push import BIG, ONE_THIRD, TWO_FIFTEENTHS, PushResult, sort_p
 
 DEF_BLOCK = 1024     # particles per kernel invocation (1-D f32 XLA tile)
 DEF_WINDOW = 1024    # voxel window (lanes); multiple of 128
-RESIDENT_VMEM_BUDGET = 10 << 20   # bytes of VMEM the tables may occupy
+RESIDENT_VMEM_BUDGET = 11 << 20   # bytes of VMEM the tables may occupy
 
 
 def _eff_bc(g: Grid, ax: int, side: int) -> int:
@@ -566,7 +566,7 @@ def vmem_plan(nvp: int, window: int) -> Tuple[int, bool]:
             trans = block * window * 2 * 2 + block * 17 * 4 * 2
             if resident and tabs > RESIDENT_VMEM_BUDGET:
                 continue
-            if tabs + trans <= (14 << 20):
+            if tabs + trans <= (15 << 20):
                 return block, resident
     return 1024, False
 

@@ -48,7 +48,7 @@ from jax.experimental.pallas import tpu as pltpu
 from ..grid import P_PERIODIC, REFLECT_PARTICLES, Grid
 from ..state import SpeciesState
 from .push import BIG, ONE_THIRD, TWO_FIFTEENTHS
-from .pallas_push import _eff_bc, _hilo_dot, _round_up
+from .pallas_push import _eff_bc, _hilo_dot, _round_up, vmem_plan
 
 B3 = 8                      # brick side (cells)
 C3 = B3 + 2                 # chart side (cells incl 1-deep halo)
@@ -217,7 +217,7 @@ def _sort_src_q(b, nb: int, N: int, quantum: int):
         jax.lax.iota(jnp.int32, N), mode="drop")
 
 
-def _kernel3d(g: Grid, qsp, msp, max_streak, P, nbx, nby, nbz,
+def _kernel3d(g: Grid, qsp, msp, max_streak, P, nbx, nby, nbz, resident,
               w0_ref,
               dx_ref, dy_ref, dz_ref, vox_ref, ux_ref, uy_ref, uz_ref,
               w_ref, live_ref, tab_ref, acc_in_ref,
@@ -228,21 +228,35 @@ def _kernel3d(g: Grid, qsp, msp, max_streak, P, nbx, nby, nbz,
     bnum = pl.program_id(0)
     w0 = pl.multiple_of(w0_ref[bnum], S)
 
-    tdma = pltpu.make_async_copy(tab_ref.at[:, pl.ds(w0, V)], tab_scratch,
-                                 tab_sem)
-    tdma.start()
-
     qdt_2mc = (qsp * g.dt) / (2.0 * msp * g.cvac)
     cdt = (g.cvac * g.dt * g.rdx, g.cvac * g.dt * g.rdy,
            g.cvac * g.dt * g.rdz)
 
-    @pl.when(bnum == 0)
-    def _():
-        oow_ref[0, 0] = 0
-    adma_in = pltpu.make_async_copy(acc_ref.at[:, pl.ds(w0, V)],
-                                    acc_scratch, acc_sem)
-    adma_in.start()
-    tdma.wait()
+    if resident:
+        # whole chart tables live in VMEM for the kernel's duration: one
+        # copy-in at block 0 and one copy-out at the last block replace
+        # the per-block HBM accumulator RMW (see the 2-D kernel)
+        @pl.when(bnum == 0)
+        def _():
+            oow_ref[0, 0] = 0
+            tdma = pltpu.make_async_copy(tab_ref, tab_scratch, tab_sem)
+            adma = pltpu.make_async_copy(acc_ref, acc_scratch, acc_sem)
+            tdma.start()
+            adma.start()
+            tdma.wait()
+            adma.wait()
+    else:
+        tdma = pltpu.make_async_copy(tab_ref.at[:, pl.ds(w0, V)],
+                                     tab_scratch, tab_sem)
+        tdma.start()
+
+        @pl.when(bnum == 0)
+        def _():
+            oow_ref[0, 0] = 0
+        adma_in = pltpu.make_async_copy(acc_ref.at[:, pl.ds(w0, V)],
+                                        acc_scratch, acc_sem)
+        adma_in.start()
+        tdma.wait()
 
     dx = dx_ref[:]
     dy = dy_ref[:]
@@ -284,7 +298,10 @@ def _kernel3d(g: Grid, qsp, msp, max_streak, P, nbx, nby, nbz,
     local = jnp.where(safe, loc, -1)[:, None]
     onehot = (lane == local).astype(jnp.bfloat16)
 
-    tab_win = tab_scratch[:, :]
+    if resident:
+        tab_win = tab_scratch[:, pl.ds(w0, V)]
+    else:
+        tab_win = tab_scratch[:, :]
     rows = _hilo_dot(tab_win, onehot, ((1,), (1,)))
 
     hax = qdt_2mc * ((rows[0] + dy * rows[1]) + dz * (rows[2] + dy * rows[3]))
@@ -348,7 +365,8 @@ def _kernel3d(g: Grid, qsp, msp, max_streak, P, nbx, nby, nbz,
 
     q0 = jnp.where(safe, qsp * w, 0.0)
     active = safe
-    adma_in.wait()
+    if not resident:
+        adma_in.wait()
 
     px, py, pz = dx, dy, dz
     lcs = [lx, ly, lz]
@@ -397,7 +415,11 @@ def _kernel3d(g: Grid, qsp, msp, max_streak, P, nbx, nby, nbz,
 
         def deposit(vals=vals, loc_cur=loc_cur, active=active):
             oh = (lane == loc_cur[:, None]).astype(jnp.bfloat16)
-            acc_scratch[:, :] += _hilo_dot(vals, oh, ((1,), (0,)))
+            upd_a = _hilo_dot(vals, oh, ((1,), (0,)))
+            if resident:
+                acc_scratch[:, pl.ds(w0, V)] += upd_a
+            else:
+                acc_scratch[:, :] += upd_a
             oow_ref[0, 0] += jnp.sum(jnp.where(
                 active & ((loc_cur < 0) | (loc_cur >= V)), 1, 0))
 
@@ -466,10 +488,17 @@ def _kernel3d(g: Grid, qsp, msp, max_streak, P, nbx, nby, nbz,
                 dpz = jnp.where(bounce, -dpz, jnp.where(exit_chart, 0.0,
                                                         dpz))
 
-    adma_out = pltpu.make_async_copy(acc_scratch,
-                                     acc_ref.at[:, pl.ds(w0, V)], acc_sem)
-    adma_out.start()
-    adma_out.wait()
+    if resident:
+        @pl.when(bnum == pl.num_programs(0) - 1)
+        def _():
+            adma_out = pltpu.make_async_copy(acc_scratch, acc_ref, acc_sem)
+            adma_out.start()
+            adma_out.wait()
+    else:
+        adma_out = pltpu.make_async_copy(
+            acc_scratch, acc_ref.at[:, pl.ds(w0, V)], acc_sem)
+        adma_out.start()
+        adma_out.wait()
 
     # write back canonical voxel (wrap periodic axes; non-periodic walks
     # cannot leave [1, n] by construction)
@@ -500,6 +529,7 @@ def _run3d(sp: SpeciesState, tab_chart, acc_chart, g: Grid, qsp, msp,
     nblocks = Np // block
     nbx, nby, nbz = _nb(g)
     nvp = tab_chart.shape[1]
+    _, resident = vmem_plan(nvp, S)
 
     def pad(a, fill=0):
         return jnp.pad(a, (0, Np - N), constant_values=fill)
@@ -530,11 +560,13 @@ def _run3d(sp: SpeciesState, tab_chart, acc_chart, g: Grid, qsp, msp,
            pl.BlockSpec((1, 1), lambda b, w0: (0, 0),
                         memory_space=pltpu.SMEM)],
         scratch_shapes=[pltpu.SemaphoreType.DMA, pltpu.SemaphoreType.DMA,
-                        pltpu.VMEM((24, S), jnp.float32),
-                        pltpu.VMEM((16, S), jnp.float32)],
+                        pltpu.VMEM((24, nvp if resident else S),
+                                   jnp.float32),
+                        pltpu.VMEM((16, nvp if resident else S),
+                                   jnp.float32)],
     )
     kernel = functools.partial(_kernel3d, g, qsp, msp, max_streak, block,
-                               nbx, nby, nbz)
+                               nbx, nby, nbz, resident)
     out_shapes = ([jax.ShapeDtypeStruct((Np,), jnp.float32)] * 3
                   + [jax.ShapeDtypeStruct((Np,), jnp.int32)]
                   + [jax.ShapeDtypeStruct((Np,), jnp.float32)] * 3
