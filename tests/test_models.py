@@ -43,3 +43,24 @@ def test_lpi_laser_propagates_and_heats():
     # particle counts stable (refluxed, not lost)
     for st, sp in zip(sim.species, state.species):
         assert int(sp.np) == len(st.xs)
+
+
+def test_asymm4sp_runs_and_conserves():
+    """Asymmetric 4-species reconnection deck: finite energies, rough
+    total-energy conservation, and a genuinely asymmetric field."""
+    from vpic_tpu.models import asymm4sp
+
+    p = asymm4sp.Asymm4spParams(nx=16, ny=16, nppc_sheet=8, nppc_bg=8,
+                                Lx=8.0, Ly=8.0)
+    sim = asymm4sp.build(p)
+    assert len(sim.species) == 4
+    st = sim.initialize()
+    bz = np.asarray(st.fields.cbz)
+    assert bz.min() < -0.5 * abs(bz.max())      # asymmetric layer
+    adv = jax.jit(sim.make_advance())
+    e0 = np.asarray(sim.energies(st)).sum()
+    for _ in range(20):
+        st = adv(st)
+    e1 = np.asarray(sim.energies(st))
+    assert np.isfinite(e1).all()
+    assert abs(e1.sum() - e0) / e0 < 5e-3

@@ -20,6 +20,7 @@ from .grid import (ABSORB_FIELDS, ABSORB_PARTICLES, ANTI_SYMMETRIC, BOUNDARY,
 from .state import (FieldState, MaterialCoeffs, SimState, SpeciesParams,
                     SpeciesState)
 from .deck import Material, Simulation, everywhere
+from .utils.log import error, message, sim_log, warning
 from . import (boundary_ops, checkpoint, collision, diagnostics, dump,
                emitter)  # noqa: F401
 

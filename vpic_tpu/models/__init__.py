@@ -1,4 +1,4 @@
 """Built-in decks (analogues of the reference's sample/ decks)."""
 
-from . import (beam_plas, dipole, emission, harris, lpi, reconnection,
-               shapes, waveguide, weibel)  # noqa: F401
+from . import (asymm4sp, beam_plas, dipole, emission, harris, lpi,
+               reconnection, shapes, waveguide, weibel)  # noqa: F401
