@@ -824,6 +824,7 @@ class Simulation:
             return state.replace(fields=f, species=tuple(species),
                                  step=step + 1, rng=rng)
 
+        advance.uses_pallas = use_fused
         return advance
 
     def make_step(self) -> Callable[[SimState], SimState]:

@@ -478,12 +478,13 @@ def _combine_shared(a, axis: int, g: Grid, cross: bool, mode: str,
 
 
 def all_sum(x, g: Grid):
-    """mp_allsum analogue: psum over all sharded mesh axes (inside
-    shard_map); identity on a single shard."""
-    names = tuple(n for n, t in zip(g.mesh_axes, g.topology) if t > 1)
-    if not names:
+    """mp_allsum analogue: psum over all mesh axes (inside shard_map);
+    identity on a single shard.  Summing over singleton axes too is free
+    and marks the result replicated over the WHOLE mesh, which shard_map's
+    varying-axes check needs to accept out_specs=P()."""
+    if not g.sharded:
         return x
-    return jax.lax.psum(x, names)
+    return jax.lax.psum(x, g.mesh_axes)
 
 
 def synchronize_jf(f: FieldState, g: Grid) -> FieldState:

@@ -87,6 +87,10 @@ def supports(g: Grid, max_capacity: int = 0) -> bool:
         if ((_eff_bc(g, axis, -1) == P_PERIODIC)
                 != (_eff_bc(g, axis, 1) == P_PERIODIC)):
             return False
+    if max_capacity and max_capacity >= (1 << 24):
+        # _sort_dest computes destinations in f32, exact only below 2^24;
+        # beyond that the bucket sort silently clones/loses particles.
+        return False
     return g.nv >= 256
 
 
@@ -425,7 +429,10 @@ def _kernel(g: Grid, qsp, msp, max_streak, P, V, nvp, resident,
         def deposit(vals=vals, vox_cur=vox_cur, active=active):
             local = (vox_cur - w0)[:, None]
             oh = (lane == local).astype(jnp.bfloat16)
-            upd = _hilo_dot(vals, oh, ((1,), (0,)))
+            # terms=3: deposited current at better-than-f32 accuracy (one
+            # extra MXU pass); the gather stays terms=2 (field values are
+            # smooth, 2^-18 relative is ample there).
+            upd = _hilo_dot(vals, oh, ((1,), (0,)), terms=3)
             if resident:
                 acc_scratch[:, pl.ds(w0, V)] += upd
             else:
@@ -553,22 +560,29 @@ def _kernel(g: Grid, qsp, msp, max_streak, P, V, nvp, resident,
     oflag_ref[:] = jnp.where(entry_flag, 1, 0)
 
 
-def vmem_plan(nvp: int, window: int) -> Tuple[int, bool]:
-    """(block, resident) keeping the kernel inside the ~16 MB VMEM budget:
-    resident tables + the (P, V) one-hot/vals transients + double-buffered
-    particle blocks.  Larger blocks amortize per-block overhead (2048
-    measured +5% over 1024 where it fits); resident tables beat streamed
-    windows; blocks below 1024 are invalid (the XLA 1-D f32 tile).  Try
-    the combinations best-first."""
-    for block in (2048, 1024):
-        for resident in (True, False):
-            tabs = (24 + 16) * (nvp if resident else window) * 4
-            trans = block * window * 2 * 2 + block * 17 * 4 * 2
-            if resident and tabs > RESIDENT_VMEM_BUDGET:
-                continue
-            if tabs + trans <= (15 << 20):
-                return block, resident
-    return 1024, False
+def vmem_plan(nvp: int, window: int) -> Tuple[int, bool, int]:
+    """(block, resident, window) keeping the kernel inside the ~16 MB VMEM
+    budget: resident tables + the (P, V) one-hot/vals transients + double-
+    buffered particle blocks.  Larger blocks amortize per-block overhead
+    (2048 measured +5% over 1024 where it fits); resident tables beat
+    streamed windows; blocks below 1024 are invalid (the XLA 1-D f32
+    tile).  Try the combinations best-first; when nothing fits at the
+    requested window, SHRINK the window (more outlier flags, but the
+    kernel stays compilable) rather than returning an over-budget plan."""
+    win = window
+    while win >= 256:
+        for block in (2048, 1024):
+            for resident in (True, False):
+                tabs = (24 + 16) * (nvp if resident else win) * 4
+                trans = block * win * 2 * 2 + block * 17 * 4 * 2
+                if resident and tabs > RESIDENT_VMEM_BUDGET:
+                    continue
+                if tabs + trans <= (15 << 20):
+                    return block, resident, win
+        win = _round_up(win // 2, 128)
+        if win >= window:
+            break
+    return 1024, False, 256
 
 
 @functools.partial(jax.jit, static_argnames=("g", "qsp", "msp", "max_streak",
@@ -578,7 +592,7 @@ def _run(sp: SpeciesState, fcoef_T, acc_T, g: Grid, qsp, msp,
     N = sp.capacity
     nvp = fcoef_T.shape[1]
     window = min(window, nvp)
-    auto_block, resident = vmem_plan(nvp, window)
+    auto_block, resident, window = vmem_plan(nvp, window)
     block = block or auto_block
     Np = _round_up(N, block)
     nblocks = Np // block

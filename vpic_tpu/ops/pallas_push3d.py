@@ -283,8 +283,12 @@ def _kernel3d(g: Grid, qsp, msp, max_streak, P, nbx, nby, nbz, resident,
     def rel(gc, base, n_ax, ax):
         lr = gc - base
         if _eff_bc(g, ax, -1) == P_PERIODIC and g.topology[ax] == 1:
-            lr = jnp.where(lr > n_ax - C3, lr - n_ax, lr)
-            lr = jnp.where(lr < -(n_ax - C3), lr + n_ax, lr)
+            # Wrap to the nearest image ONLY when already outside the
+            # chart range [0, C3): at the minimum axis size (n_ax = 2*B3
+            # = 16 < 2*C3 - 1) an ungated wrap would eject genuine chart
+            # cells with lr in (n_ax - C3, C3) every step.
+            lr = jnp.where((lr >= C3) & (lr > n_ax - C3), lr - n_ax, lr)
+            lr = jnp.where((lr < 0) & (lr < -(n_ax - C3)), lr + n_ax, lr)
         return lr
 
     lx = rel(gx, BX * B3, g.nx, 0)
@@ -415,7 +419,8 @@ def _kernel3d(g: Grid, qsp, msp, max_streak, P, nbx, nby, nbz, resident,
 
         def deposit(vals=vals, loc_cur=loc_cur, active=active):
             oh = (lane == loc_cur[:, None]).astype(jnp.bfloat16)
-            upd_a = _hilo_dot(vals, oh, ((1,), (0,)))
+            # terms=3: better-than-f32 deposit accuracy at one extra MXU pass
+            upd_a = _hilo_dot(vals, oh, ((1,), (0,)), terms=3)
             if resident:
                 acc_scratch[:, pl.ds(w0, V)] += upd_a
             else:
@@ -529,7 +534,7 @@ def _run3d(sp: SpeciesState, tab_chart, acc_chart, g: Grid, qsp, msp,
     nblocks = Np // block
     nbx, nby, nbz = _nb(g)
     nvp = tab_chart.shape[1]
-    _, resident = vmem_plan(nvp, S)
+    _, resident, _ = vmem_plan(nvp, S)
 
     def pad(a, fill=0):
         return jnp.pad(a, (0, Np - N), constant_values=fill)

@@ -41,32 +41,39 @@ def global_view(tree):
     return jax.tree.map(lambda a: a[None, None, None], tree)
 
 
-def shard_fn(fn, g: Grid, mesh: Mesh):
-    """Lift a shard-local state->state function to the global sharded state."""
+def shard_fn(fn, g: Grid, mesh: Mesh, check_vma: bool = None):
+    """Lift a shard-local state->state function to the global sharded state.
+
+    check_vma defaults to ON unless fn is marked `uses_pallas` (pallas_call
+    outputs carry no varying-axes annotation, which would trip the check);
+    keeping it on elsewhere preserves shard_map's sharding validation."""
     spec = P(*g.mesh_axes)
+    if check_vma is None:
+        check_vma = not getattr(fn, "uses_pallas", False)
 
     def wrapped(gstate):
         def local(gs):
             return global_view(fn(local_view(gs)))
 
-        # check_vma=False: pallas_call outputs carry no vma annotation
         return shard_map(local, mesh=mesh, in_specs=spec,
-                         out_specs=spec, check_vma=False)(gstate)
+                         out_specs=spec, check_vma=check_vma)(gstate)
 
     return wrapped
 
 
-def shard_reduce_fn(fn, g: Grid, mesh: Mesh):
+def shard_reduce_fn(fn, g: Grid, mesh: Mesh, check_vma: bool = None):
     """Lift a shard-local state->replicated-scalar(s) function (the function
     must psum internally, e.g. via ops.fields.all_sum)."""
     in_spec = P(*g.mesh_axes)
+    if check_vma is None:
+        check_vma = not getattr(fn, "uses_pallas", False)
 
     def wrapped(gstate):
         def local(gs):
             return fn(local_view(gs))
 
         return shard_map(local, mesh=mesh, in_specs=in_spec,
-                         out_specs=P(), check_vma=False)(gstate)
+                         out_specs=P(), check_vma=check_vma)(gstate)
 
     return wrapped
 
