@@ -56,7 +56,8 @@ from jax.experimental.pallas import tpu as pltpu
 
 from ..grid import P_PERIODIC, P_REMOTE, REFLECT_PARTICLES, Grid
 from ..state import SpeciesState
-from .push import BIG, ONE_THIRD, TWO_FIFTEENTHS, PushResult, sort_p
+from .push import (BIG, ONE_THIRD, TWO_FIFTEENTHS, PushResult,
+                   div_const as _div_const, sort_p)
 
 DEF_BLOCK = 1024     # particles per kernel invocation (1-D f32 XLA tile)
 DEF_WINDOW = 1024    # voxel window (lanes); multiple of 128
@@ -238,15 +239,28 @@ def bucket_sort_p(sp: SpeciesState, g: Grid, bucket: int = BUCKET):
                       i=i, live=live)
 
 
-def _kernel(g: Grid, qsp, msp, max_streak, P, V, nvp, resident,
+def _kernel(g: Grid, qsp, msp, max_streak, P, V, nvp, resident, ablate,
             w0_ref,  # scalar prefetch: (nblocks,) window starts (int32)
             dx_ref, dy_ref, dz_ref, vox_ref, ux_ref, uy_ref, uz_ref,
             w_ref, live_ref, tab_ref, acc_in_ref,
             odx_ref, ody_ref, odz_ref, ovox_ref, oux_ref, ouy_ref,
             ouz_ref, oflag_ref,
             acc_ref, oow_ref, tab_sem, acc_sem, tab_scratch, acc_scratch):
+    # FACTORIZED one-hot scheme: a window voxel v - w0 = h*128 + l splits
+    # into digits, and onehot(v) = onehot_hi(h) (x) onehot_lo(l).  Gather
+    # and deposit contract against the (P, 128) lo one-hot on the MXU
+    # (same FLOPs as the dense (P, V) one-hot, perfect 128-lane tiles)
+    # while the hi digit is applied as a cheap one-hot select, so the
+    # materialized one-hot shrinks from P*V to P*(128+H) elements -- the
+    # dense one-hot's VPU materialization, not the matmul, was the
+    # dominant kernel cost.  Tables/accumulator use the h-major row
+    # layout tabF[hg*24+r, l] / accF[hg*16+r, l] (hg = global hi digit)
+    # so a window is a multiple-of-8 sublane slice.
     b = pl.program_id(0)
+    H = V // 128
     w0 = pl.multiple_of(w0_ref[b], 128)
+    s24 = pl.multiple_of((w0 // 128) * 24, 8)
+    s16 = pl.multiple_of((w0 // 128) * 16, 8)
 
     qdt_2mc = (qsp * g.dt) / (2.0 * msp * g.cvac)
     cdt_dx = g.cvac * g.dt * g.rdx
@@ -273,14 +287,14 @@ def _kernel(g: Grid, qsp, msp, max_streak, P, V, nvp, resident,
         # (aliased input/output); each block read-modify-writes only its
         # own voxel window, which is safe because TPU grid steps run
         # sequentially.
-        tdma = pltpu.make_async_copy(tab_ref.at[:, pl.ds(w0, V)],
+        tdma = pltpu.make_async_copy(tab_ref.at[pl.ds(s24, 24 * H), :],
                                      tab_scratch, tab_sem)
         tdma.start()
 
         @pl.when(b == 0)
         def _():
             oow_ref[0, 0] = 0
-        adma_in = pltpu.make_async_copy(acc_ref.at[:, pl.ds(w0, V)],
+        adma_in = pltpu.make_async_copy(acc_ref.at[pl.ds(s16, 16 * H), :],
                                         acc_scratch, acc_sem)
         adma_in.start()
         tdma.wait()
@@ -295,7 +309,8 @@ def _kernel(g: Grid, qsp, msp, max_streak, P, V, nvp, resident,
     w = w_ref[:]
     live = live_ref[:] > 0
 
-    lane = jax.lax.broadcasted_iota(jnp.int32, (P, V), 1)
+    lane_r = jax.lax.broadcasted_iota(jnp.int32, (P, 128), 1)
+    iota_h = jax.lax.broadcasted_iota(jnp.int32, (H, P), 0)
     # Entry guard: a lane whose voxel cannot stay inside the window for the
     # whole walk is FROZEN (state passes through untouched) and flagged for
     # the caller's compact XLA outlier pass -- stale-sort drift lands here,
@@ -306,52 +321,72 @@ def _kernel(g: Grid, qsp, msp, max_streak, P, V, nvp, resident,
     loc0 = vox - w0
     safe = live & (loc0 >= GUARD) & (loc0 < V - GUARD)
     entry_flag = live & ~safe
-    local = jnp.where(safe, loc0, -1)[:, None]
-    onehot = (lane == local).astype(jnp.bfloat16)
-
-    if resident:
-        tab_win = tab_scratch[:, pl.ds(w0, V)]            # (24, V)
+    # w0 is 128-aligned, so lo = loc0 % 128 == vox % 128 for safe lanes
+    if ablate & 8:
+        oh_lo0 = jnp.zeros((P, 128), jnp.bfloat16)
+        ohhi0 = jnp.zeros((H, P), jnp.float32)
     else:
-        tab_win = tab_scratch[:, :]
-    rows = _hilo_dot(tab_win, onehot, ((1,), (1,)))       # (18, P)
+        lo0 = jnp.where(safe, loc0 & 127, -1)[:, None]
+        oh_lo0 = (lane_r == lo0).astype(jnp.bfloat16)      # (P, 128)
+        ohhi0 = (iota_h == (loc0 // 128)[None, :]).astype(
+            jnp.float32)                                   # (H, P)
 
-    hax = qdt_2mc * ((rows[0] + dy * rows[1]) + dz * (rows[2] + dy * rows[3]))
-    hay = qdt_2mc * ((rows[4] + dz * rows[5]) + dx * (rows[6] + dz * rows[7]))
-    haz = qdt_2mc * ((rows[8] + dx * rows[9]) + dy * (rows[10] + dx * rows[11]))
-    cbx = rows[12] + dx * rows[13]
-    cby = rows[14] + dy * rows[15]
-    cbz = rows[16] + dz * rows[17]
+    if ablate & 4:
+        rows = jnp.zeros((24, P), jnp.float32)
+    else:
+        if resident:
+            tab_win = tab_scratch[pl.ds(s24, 24 * H), :]   # (24H, 128)
+        else:
+            tab_win = tab_scratch[:, :]
+        G2 = _hilo_dot(tab_win, oh_lo0, ((1,), (1,)))      # (24H, P)
+        rows = G2[0:24] * ohhi0[0]
+        for h in range(1, H):
+            rows = rows + G2[24 * h:24 * (h + 1)] * ohhi0[h]   # (24, P)
 
-    ux = ux + hax
-    uy = uy + hay
-    uz = uz + haz
-    v0 = qdt_2mc * jax.lax.rsqrt(1.0 + (ux * ux + (uy * uy + uz * uz)))
-    v1 = cbx * cbx + (cby * cby + cbz * cbz)
-    v2 = (v0 * v0) * v1
-    v3 = v0 * (1.0 + v2 * (ONE_THIRD + v2 * TWO_FIFTEENTHS))
-    v4 = v3 / (1.0 + v1 * (v3 * v3))
-    v4 = v4 + v4
-    t0 = ux + v3 * (uy * cbz - uz * cby)
-    t1 = uy + v3 * (uz * cbx - ux * cbz)
-    t2 = uz + v3 * (ux * cby - uy * cbx)
-    ux = ux + v4 * (t1 * cbz - t2 * cby)
-    uy = uy + v4 * (t2 * cbx - t0 * cbz)
-    uz = uz + v4 * (t0 * cby - t1 * cbx)
-    ux = ux + hax
-    uy = uy + hay
-    uz = uz + haz
+    if ablate & 16:
+        dpx = dpy = dpz = jnp.zeros_like(dx)
+    else:
+        hax = qdt_2mc * ((rows[0] + dy * rows[1])
+                         + dz * (rows[2] + dy * rows[3]))
+        hay = qdt_2mc * ((rows[4] + dz * rows[5])
+                         + dx * (rows[6] + dz * rows[7]))
+        haz = qdt_2mc * ((rows[8] + dx * rows[9])
+                         + dy * (rows[10] + dx * rows[11]))
+        cbx = rows[12] + dx * rows[13]
+        cby = rows[14] + dy * rows[15]
+        cbz = rows[16] + dz * rows[17]
 
-    rg = jax.lax.rsqrt(1.0 + (ux * ux + (uy * uy + uz * uz)))
-    dpx = ux * cdt_dx * rg
-    dpy = uy * cdt_dy * rg
-    dpz = uz * cdt_dz * rg
+        ux = ux + hax
+        uy = uy + hay
+        uz = uz + haz
+        v0 = qdt_2mc * jax.lax.rsqrt(1.0 + (ux * ux + (uy * uy + uz * uz)))
+        v1 = cbx * cbx + (cby * cby + cbz * cbz)
+        v2 = (v0 * v0) * v1
+        v3 = v0 * (1.0 + v2 * (ONE_THIRD + v2 * TWO_FIFTEENTHS))
+        v4 = v3 / (1.0 + v1 * (v3 * v3))
+        v4 = v4 + v4
+        t0 = ux + v3 * (uy * cbz - uz * cby)
+        t1 = uy + v3 * (uz * cbx - ux * cbz)
+        t2 = uz + v3 * (ux * cby - uy * cbx)
+        ux = ux + v4 * (t1 * cbz - t2 * cby)
+        uy = uy + v4 * (t2 * cbx - t0 * cbz)
+        uz = uz + v4 * (t0 * cby - t1 * cbx)
+        ux = ux + hax
+        uy = uy + hay
+        uz = uz + haz
+
+        rg = jax.lax.rsqrt(1.0 + (ux * ux + (uy * uy + uz * uz)))
+        dpx = ux * cdt_dx * rg
+        dpy = uy * cdt_dy * rg
+        dpz = uz * cdt_dz * rg
 
     # Decode voxel coords (nz == 1: z pinned at plane 1).  yi is UNWRAPPED:
     # residents of the y-image ranges (see module docstring) decode to
     # yi < 0 / yi >= NY and vox_cur = xi + NX*(yi + NY) puts them right
     # back; canonical plane-1 voxels give the usual yi in [0, NY).
-    yi = vox // g.NX - g.NY
-    xi = vox - g.NX * (vox // g.NX)
+    vq = _div_const(vox, g.NX, 3 * g.sz)
+    yi = vq - g.NY
+    xi = vox - g.NX * vq
 
     # Wall pre-flag: a lane whose step would cross a face whose BC the
     # kernel does not implement (absorb / custom / remote) is frozen
@@ -384,7 +419,7 @@ def _kernel(g: Grid, qsp, msp, max_streak, P, V, nvp, resident,
         adma_in.wait()
 
     px, py, pz = dx, dy, dz
-    for round_idx in range(max_streak):
+    for round_idx in range(0 if ablate & 2 else max_streak):
         dirx = jnp.where(dpx > 0, 1.0, -1.0)
         diry = jnp.where(dpy > 0, 1.0, -1.0)
         dirz = jnp.where(dpz > 0, 1.0, -1.0)
@@ -426,22 +461,35 @@ def _kernel(g: Grid, qsp, msp, max_streak, P, V, nvp, resident,
 
         vox_cur = xi + g.NX * (yi + g.NY * 1)
 
-        def deposit(vals=vals, vox_cur=vox_cur, active=active):
-            local = (vox_cur - w0)[:, None]
-            oh = (lane == local).astype(jnp.bfloat16)
+        def deposit(vals=vals, vox_cur=vox_cur, active=active,
+                    reuse=None):
+            loc = vox_cur - w0
+            if reuse is None:
+                okw = (loc >= 0) & (loc < V)
+                lo = jnp.where(okw, loc & 127, -1)[:, None]
+                oh_lo = (lane_r == lo).astype(jnp.bfloat16)
+                ohhi = (iota_h == (loc // 128)[None, :]).astype(jnp.float32)
+            else:
+                # round 0: position == gather position, reuse its one-hots
+                oh_lo, ohhi = reuse
+            # (16H, P) h-major stack of hi-digit-selected quarter currents
+            rhsT = jnp.concatenate([vals * ohhi[h] for h in range(H)],
+                                   axis=0)
             # terms=3: deposited current at better-than-f32 accuracy (one
             # extra MXU pass); the gather stays terms=2 (field values are
             # smooth, 2^-18 relative is ample there).
-            upd = _hilo_dot(vals, oh, ((1,), (0,)), terms=3)
+            upd = _hilo_dot(rhsT, oh_lo, ((1,), (0,)), terms=3)  # (16H, 128)
             if resident:
-                acc_scratch[:, pl.ds(w0, V)] += upd
+                acc_scratch[pl.ds(s16, 16 * H), :] += upd
             else:
                 acc_scratch[:, :] += upd
             oow_ref[0, 0] += jnp.sum(jnp.where(
                 active & ((vox_cur - w0 < 0) | (vox_cur - w0 >= V)), 1, 0))
 
-        if round_idx == 0:
-            deposit()
+        if ablate & 1:
+            pass
+        elif round_idx == 0:
+            deposit(reuse=(oh_lo0, ohhi0))
         else:
             # common case: nobody crossed again -> skip the MXU work
             pl.when(jnp.any(active))(deposit)
@@ -545,7 +593,7 @@ def _kernel(g: Grid, qsp, msp, max_streak, P, V, nvp, resident,
             adma_out.wait()
     else:
         adma_out = pltpu.make_async_copy(acc_scratch,
-                                         acc_ref.at[:, pl.ds(w0, V)],
+                                         acc_ref.at[pl.ds(s16, 16 * H), :],
                                          acc_sem)
         adma_out.start()
         adma_out.wait()
@@ -560,7 +608,8 @@ def _kernel(g: Grid, qsp, msp, max_streak, P, V, nvp, resident,
     oflag_ref[:] = jnp.where(entry_flag, 1, 0)
 
 
-def vmem_plan(nvp: int, window: int) -> Tuple[int, bool, int]:
+def vmem_plan(nvp: int, window: int,
+              dense: bool = False) -> Tuple[int, bool, int]:
     """(block, resident, window) keeping the kernel inside the ~16 MB VMEM
     budget: resident tables + the (P, V) one-hot/vals transients + double-
     buffered particle blocks.  Larger blocks amortize per-block overhead
@@ -571,13 +620,21 @@ def vmem_plan(nvp: int, window: int) -> Tuple[int, bool, int]:
     kernel stays compilable) rather than returning an over-budget plan."""
     win = window
     while win >= 256:
-        for block in (2048, 1024):
+        H = win // 128
+        for block in ((2048, 1024) if dense else (4096, 2048, 1024)):
             for resident in (True, False):
                 tabs = (24 + 16) * (nvp if resident else win) * 4
-                trans = block * win * 2 * 2 + block * 17 * 4 * 2
+                if dense:
+                    # dense (P, V) one-hot transients (3-D chart kernel)
+                    trans = block * win * 2 * 2 + block * 17 * 4 * 2
+                else:
+                    # factorized-one-hot transients: G2 (24H,P) f32, rhsT
+                    # (16H,P) f32 + bf16 splits, lo one-hots, particle
+                    # blocks
+                    trans = block * (264 * H + 648)
                 if resident and tabs > RESIDENT_VMEM_BUDGET:
                     continue
-                if tabs + trans <= (15 << 20):
+                if tabs + trans <= (14 << 20):
                     return block, resident, win
         win = _round_up(win // 2, 128)
         if win >= window:
@@ -586,9 +643,9 @@ def vmem_plan(nvp: int, window: int) -> Tuple[int, bool, int]:
 
 
 @functools.partial(jax.jit, static_argnames=("g", "qsp", "msp", "max_streak",
-                                             "block", "window"))
+                                             "block", "window", "ablate"))
 def _run(sp: SpeciesState, fcoef_T, acc_T, g: Grid, qsp, msp,
-         max_streak=4, block=0, window=DEF_WINDOW):
+         max_streak=4, block=0, window=DEF_WINDOW, ablate=0):
     N = sp.capacity
     nvp = fcoef_T.shape[1]
     window = min(window, nvp)
@@ -620,6 +677,16 @@ def _run(sp: SpeciesState, fcoef_T, acc_T, g: Grid, qsp, msp,
     mid = (lo + hi) // 2
     w0 = jnp.clip((mid // 128) * 128 - window // 2, 0, nvp - window)
 
+    # h-major row layouts for the factorized kernel: tabF[hg*24+r, l] and
+    # accF[hg*16+r, l] with v = hg*128 + l (one XLA transpose each way;
+    # windows become multiple-of-8 sublane slices inside the kernel)
+    nvh = nvp // 128
+    H = window // 128
+    tabF = fcoef_T.reshape(24, nvh, 128).transpose(1, 0, 2).reshape(
+        nvh * 24, 128)
+    accF = acc_T.reshape(16, nvh, 128).transpose(1, 0, 2).reshape(
+        nvh * 16, 128)
+
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(nblocks,),
@@ -631,19 +698,19 @@ def _run(sp: SpeciesState, fcoef_T, acc_T, g: Grid, qsp, msp,
            pl.BlockSpec((1, 1), lambda b, w0: (0, 0),
                         memory_space=pltpu.SMEM)],
         scratch_shapes=[pltpu.SemaphoreType.DMA, pltpu.SemaphoreType.DMA,
-                        pltpu.VMEM((24, nvp if resident else window),
+                        pltpu.VMEM((nvh * 24 if resident else 24 * H, 128),
                                    jnp.float32),
-                        pltpu.VMEM((16, nvp if resident else window),
+                        pltpu.VMEM((nvh * 16 if resident else 16 * H, 128),
                                    jnp.float32)],
     )
 
     kernel = functools.partial(_kernel, g, qsp, msp, max_streak, block,
-                               window, nvp, resident)
+                               window, nvp, resident, ablate)
     out_shapes = ([jax.ShapeDtypeStruct((Np,), jnp.float32)] * 3
                   + [jax.ShapeDtypeStruct((Np,), jnp.int32)]
                   + [jax.ShapeDtypeStruct((Np,), jnp.float32)] * 3
                   + [jax.ShapeDtypeStruct((Np,), jnp.int32)]
-                  + [jax.ShapeDtypeStruct((16, nvp), jnp.float32),
+                  + [jax.ShapeDtypeStruct((nvh * 16, 128), jnp.float32),
                      jax.ShapeDtypeStruct((1, 1), jnp.int32)])
     interpret = jax.devices()[0].platform != "tpu"
     outs = pl.pallas_call(
@@ -654,9 +721,11 @@ def _run(sp: SpeciesState, fcoef_T, acc_T, g: Grid, qsp, msp,
         input_output_aliases={11: 8},    # acc carry-in aliases acc out
         compiler_params=None if interpret else pltpu.CompilerParams(
             dimension_semantics=("arbitrary",)),
-    )(w0, dx, dy, dz, vox, ux, uy, uz, w, live, fcoef_T, acc_T)
+    )(w0, dx, dy, dz, vox, ux, uy, uz, w, live, tabF, accF)
 
-    (odx, ody, odz, ovox, oux, ouy, ouz, oflag, acc_out, oow) = outs
+    (odx, ody, odz, ovox, oux, ouy, ouz, oflag, accF_out, oow) = outs
+    acc_out = accF_out.reshape(nvh, 16, 128).transpose(1, 0, 2).reshape(
+        16, nvp)
     new_sp = sp.replace(dx=odx[:N], dy=ody[:N], dz=odz[:N],
                         i=jnp.where(sp.live, ovox[:N], sp.i),
                         ux=oux[:N], uy=ouy[:N], uz=ouz[:N])
@@ -673,11 +742,12 @@ def remap_ghost_voxels(sp: SpeciesState, g: Grid) -> SpeciesState:
     """Map fused-path voxel indices back to canonical interior cells: wraps
     periodic ghost residents, and (nz==1, periodic y) decodes unwrapped-y
     image residents from the z=0 / z=2 plane thirds."""
-    zi, r = jnp.divmod(sp.i, g.sz)
-    yi, xi = jnp.divmod(r, g.sy)
+    from .push import divmod_const, mod_wrap1
+    zi, r = divmod_const(sp.i, g.sz, g.nv)
+    yi, xi = divmod_const(r, g.sy, g.sz)
     if _y_unwrapped(g):
         yu = yi + (zi - 1) * g.NY       # unwrapped y in [-NY, 2*NY)
-        yi = (yu - 1) % g.ny + 1
+        yi = mod_wrap1(yu, g.ny, 2 * g.NY + 1)
         zi = jnp.ones_like(zi)
     coords = [xi, yi, zi]
     for ax, n_ax in enumerate((g.nx, g.ny, g.nz)):
@@ -836,7 +906,7 @@ def outlier_pass(sp: SpeciesState, oflag, fcoef_T, g: Grid,
 
 def fused_push(sp: SpeciesState, fcoef_T, acc_T, g: Grid, qsp: float,
                msp: float, max_streak: int = 4, block: int = 0,
-               window: int = DEF_WINDOW):
+               window: int = DEF_WINDOW, ablate: int = 0):
     """One species push through the fused kernel (transposed layouts).
 
     Precondition: particles bucket-sorted recently enough that each block's
@@ -847,7 +917,7 @@ def fused_push(sp: SpeciesState, fcoef_T, acc_T, g: Grid, qsp: float,
     before sorting / external consumption.
     Returns (species, acc_T, outlier_flags, oow)."""
     return _run(sp, fcoef_T, acc_T, g, float(qsp), float(msp),
-                max_streak, block, window)
+                max_streak, block, window, ablate)
 
 
 def expand_y_images_T(tab_T, g: Grid):

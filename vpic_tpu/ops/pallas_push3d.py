@@ -534,7 +534,7 @@ def _run3d(sp: SpeciesState, tab_chart, acc_chart, g: Grid, qsp, msp,
     nblocks = Np // block
     nbx, nby, nbz = _nb(g)
     nvp = tab_chart.shape[1]
-    _, resident, _ = vmem_plan(nvp, S)
+    _, resident, _ = vmem_plan(nvp, S, dense=True)
 
     def pad(a, fill=0):
         return jnp.pad(a, (0, Np - N), constant_values=fill)
