@@ -70,6 +70,60 @@ def test_absorb_tally_removes_and_charges():
     g = sim.grid
     rhob_tot = float(jnp.sum(state.fields.rhob))
     assert rhob_tot > 0.5 * n_inj * q / g.dV
+    # the jit-carried tally counted every absorption exactly once
+    face = next(iter(sim.pbc_handlers))
+    assert BO.tally_of(state.diag, "beam", face) == n_inj
+
+
+def test_absorb_tally_survives_scan_multistep():
+    """Tally counts ride the lax.scan carry (absorb_tally.c:12-84 tallies,
+    functional): a single make_multi_step dispatch must report the same
+    count as stepwise advance."""
+    at = BO.absorb_tally()
+    sim = base_sim(pbc_handler=at)
+    spc = sim.define_species("beam", 1e-6, 1.0, 512, -1, 0, 1)
+    v = 0.4
+    u = v / np.sqrt(1 - v * v)
+    n_inj = 30
+    for k in range(n_inj):
+        sim.inject_particle(spc, 0.9, (k % 7 + 0.5) / 8, (k % 5 + 0.5) / 8,
+                            u, 0, 0, 1.0)
+    state = sim.initialize()
+    face = next(iter(sim.pbc_handlers))
+    assert BO.tally_of(state.diag, "beam", face) == 0
+    state = sim.make_multi_step(12)(state)
+    assert int(state.species[0].np) == 0
+    assert BO.tally_of(state.diag, "beam", face) == n_inj
+
+
+def test_link_boundary_records_and_write(tmp_path):
+    """link_boundary (link.c:18-74): absorbed-particle records accumulate
+    in the diag ring buffer under a jitted scan and write_links dumps them
+    to the per-rank file with the particle data intact."""
+    prefix = str(tmp_path / "link")
+    lb = BO.link_boundary(prefix=prefix, buffer_size=128)
+    sim = base_sim(pbc_handler=lb)
+    spc = sim.define_species("beam", 1e-6, 1.0, 512, -1, 0, 1)
+    v = 0.4
+    u = v / np.sqrt(1 - v * v)
+    n_inj = 20
+    for k in range(n_inj):
+        sim.inject_particle(spc, 0.9, (k % 7 + 0.5) / 8, (k % 5 + 0.5) / 8,
+                            u, 0, 0, 1.0)
+    state = sim.initialize()
+    state = sim.make_multi_step(12)(state)
+    assert int(state.species[0].np) == 0
+    diag = lb.write_links(state.diag, rank=0)
+    face = next(iter(sim.pbc_handlers))
+    lines = open(f"{prefix}.0").read().splitlines()
+    assert len(lines) == n_inj
+    for ln in lines:
+        parts = ln.split()
+        assert parts[0] == "beam" and int(parts[1]) == face
+        assert float(parts[-1]) == 1.0        # weight preserved
+        assert abs(float(parts[6])) > 0.0     # ux recorded
+    # write_links resets the counter so records aren't double-dumped
+    assert int(np.asarray(diag[f"link/{prefix}/beam/f{face}/n"]).sum()) == 0
 
 
 def test_child_langmuir_emits():

@@ -237,3 +237,33 @@ def test_user_global_checkpoint_roundtrip(tmp_path):
     ck.restore(base, sim=sim2)
     assert sim2.user_global == {"phase": "ramp", "t_switch": 12.5,
                                 "hits": [1, 2]}
+
+
+def test_field_dump_material_ids_roundtrip(tmp_path):
+    """Multi-material field dump writes the real per-voxel material-id
+    int16s (dump.cc:518+, field_advance.h:152-160) and read_dumps decodes
+    them: a conductor slab's ids come back exactly."""
+    import sys
+    sys.path.insert(0, os.path.join(os.path.dirname(
+        os.path.dirname(os.path.abspath(__file__))), "utilities"))
+    import read_dumps as RD
+    from vpic_tpu.deck import Simulation
+
+    n = 8
+    sim = Simulation(seed=0)
+    sim.define_units(1.0, 1.0)
+    sim.define_timestep(0.4 / (n * np.sqrt(3.0)))
+    sim.define_periodic_grid((0, 0, 0), (1, 1, 1), (n, n, n))
+    sim.define_material("vacuum", 1.0)
+    cond = sim.define_material("copper", eps=1.0, sigma=5.0)
+    sim.define_field_array(damp=0.0)
+    sim.set_region_material(lambda x, y, z: x > 0.5, cond)
+    state = sim.initialize()
+    names = DU.dump_fields(sim, state, str(tmp_path / "f"))
+    hdr, fields = RD.read_fields(names[0])
+    for c in DU.MAT_ID_ORDER:
+        np.testing.assert_array_equal(
+            fields[c], sim._mat_ids[c].astype(np.int16))
+    # the slab interior really is tagged with the conductor's id
+    assert (fields["cmat"] == cond.id).any()
+    assert (fields["cmat"] == 0).any()

@@ -34,6 +34,8 @@ def read_array_header(fh):
 FIELD_NAMES = ("ex", "ey", "ez", "div_e_err", "cbx", "cby", "cbz",
                "div_b_err", "tcax", "tcay", "tcaz", "rhob",
                "jfx", "jfy", "jfz", "rhof")
+MAT_NAMES = ("ematx", "ematy", "ematz", "nmat",
+             "fmatx", "fmaty", "fmatz", "cmat")
 HYDRO_NAMES = ("jx", "jy", "jz", "rho", "px", "py", "pz", "ke",
                "txx", "tyy", "tzz", "tyz", "tzx", "txy", "pad0", "pad1")
 
@@ -43,9 +45,13 @@ def read_fields(path):
         hdr = read_header(fh)
         esize, dims = read_array_header(fh)
         n = dims[0] * dims[1] * dims[2]
-        rec = np.frombuffer(fh.read(n * 80), "<f4").reshape(n, 20)
-        out = {name: rec[:, c].reshape(dims[2], dims[1], dims[0])
+        # field_t: 16 floats + 8 material-id int16s per voxel
+        rec = np.frombuffer(fh.read(n * 80),
+                            dtype=[("f", "<f4", (16,)), ("m", "<i2", (8,))])
+        out = {name: rec["f"][:, c].reshape(dims[2], dims[1], dims[0])
                for c, name in enumerate(FIELD_NAMES)}
+        out.update({name: rec["m"][:, c].reshape(dims[2], dims[1], dims[0])
+                    for c, name in enumerate(MAT_NAMES)})
         return hdr, out
 
 

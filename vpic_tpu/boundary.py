@@ -178,16 +178,19 @@ def boundary_p(species: Sequence[SpeciesState], sp_params, pends, disps,
                acc, rhob, g: Grid, num_comm_round: int = 3,
                mig_frac: float = 0.125, max_streak: int = 4,
                custom_handlers: Optional[Dict[int, Callable]] = None,
-               key=None):
+               key=None, diag=None):
     """Process parked particles for every species: custom-BC dispatch,
     ``num_comm_round`` migration rounds, then leftover drop (+rhob).
 
     custom_handlers maps face index -> handler with signature
-      handler(key, sp, pend, disp, acc, rhob, g, spp, face)
-        -> (sp, pend, disp, acc, rhob)
+      handler(key, sp, pend, disp, acc, rhob, g, spp, face, diag)
+        -> (sp, pend, disp, acc, rhob, diag)
     (the particle_bc_t interact dispatch, boundary_p.cc:250-255); handlers
     consume lanes with pend == CUSTOM_BASE + face and run their own
-    streak-walk continuation.  Returns (species, acc, rhob, n_dropped).
+    streak-walk continuation.  ``diag`` is a dict of named device scalars
+    handlers accumulate into (tally counts etc.); it must be initialized
+    with a fixed key structure (Simulation.initialize does) so it can ride
+    a lax.scan carry.  Returns (species, acc, rhob, n_dropped, diag).
     """
     species = list(species)
     pends = list(pends)
@@ -196,29 +199,31 @@ def boundary_p(species: Sequence[SpeciesState], sp_params, pends, disps,
     custom_handlers = custom_handlers or {}
     if key is None:
         key = jax.random.PRNGKey(0)
+    if diag is None:
+        diag = {}
 
-    def run_handlers(key, sp, pend, disp, acc, rhob, spp):
+    def run_handlers(key, sp, pend, disp, acc, rhob, diag, spp):
         for face, handler in custom_handlers.items():
             key, sub = jax.random.split(key)
-            sp, pend, disp, acc, rhob = handler(
-                sub, sp, pend, disp, acc, rhob, g, spp, face)
-        return key, sp, pend, disp, acc, rhob
+            sp, pend, disp, acc, rhob, diag = handler(
+                sub, sp, pend, disp, acc, rhob, g, spp, face, diag)
+        return key, sp, pend, disp, acc, rhob, diag
 
     for k, spp in enumerate(sp_params):
         sp, pend, disp = species[k], pends[k], disps[k]
         mig_cap = max(64, int(sp.capacity * mig_frac))
 
         # Custom particle BCs first (boundary_p.cc:250-255 dispatch).
-        key, sp, pend, disp, acc, rhob = run_handlers(
-            key, sp, pend, disp, acc, rhob, spp)
+        key, sp, pend, disp, acc, rhob, diag = run_handlers(
+            key, sp, pend, disp, acc, rhob, diag, spp)
 
         for _ in range(num_comm_round):
             sp, pend, disp, acc, rhob, n_dropped = _migrate_round(
                 sp, pend, disp, acc, rhob, g, spp.q, mig_cap, max_streak,
                 n_dropped)
             # Handlers may need to run again for multi-hop arrivals.
-            key, sp, pend, disp, acc, rhob = run_handlers(
-                key, sp, pend, disp, acc, rhob, spp)
+            key, sp, pend, disp, acc, rhob, diag = run_handlers(
+                key, sp, pend, disp, acc, rhob, diag, spp)
 
         # Leftover pends: drop with charge -> rhob (advance.cc:78-101).
         leftover = (pend >= 0) & (pend != DONE) & sp.live & \
@@ -233,4 +238,4 @@ def boundary_p(species: Sequence[SpeciesState], sp_params, pends, disps,
         pends[k] = pend
         disps[k] = disp
 
-    return species, acc, rhob, n_dropped
+    return species, acc, rhob, n_dropped, diag

@@ -1,11 +1,17 @@
 """Custom particle boundary conditions (src/boundary/).
 
 Each factory returns a handler with the boundary_p custom-BC protocol:
-  handler(key, sp, pend, disp, acc, rhob, g, spp, face)
-    -> (sp, pend, disp, acc, rhob)
+  handler(key, sp, pend, disp, acc, rhob, g, spp, face, diag)
+    -> (sp, pend, disp, acc, rhob, diag)
 consuming lanes parked with pend == CUSTOM_BASE + face and continuing their
 remaining trajectory through the streak walk (the reference re-injects
 through move_p, boundary_p.cc:440-494).
+
+``diag`` is the jit-carried diagnostics dict (SimState.diag): handlers that
+count interactions (absorb_tally) expose ``diag_init(names, face)`` so
+Simulation.initialize can pre-create their keys with a fixed structure, then
+accumulate into those keys functionally -- counts survive lax.scan
+multi-stepping and are read host-side after the fact.
 """
 
 from __future__ import annotations
@@ -44,7 +50,8 @@ def maxwellian_reflux(ut_para: Dict[str, float], ut_perp: Dict[str, float]):
     and bi-Maxwellian perpendicular momentum; remaining displacement is
     rescaled to preserve the particle's fractional age."""
 
-    def handler(key, sp, pend, disp, acc, rhob, g: Grid, spp, face):
+    def handler(key, sp, pend, disp, acc, rhob, g: Grid, spp, face,
+                diag=None):
         mask = pend == CUSTOM_BASE + face
         axis = FACE_AXIS[face]
         side = FACE_SIDE[face]
@@ -83,18 +90,25 @@ def maxwellian_reflux(ut_para: Dict[str, float], ut_perp: Dict[str, float]):
                         uz=sel(us[2], sp.uz))
         disp = (sel(ndx, dpx), sel(ndy, dpy), sel(ndz, dpz))
         pend = jnp.where(mask, DONE, pend)
-        return _continue_walk(sp, pend, disp, acc, rhob, g, spp.q, mask)
+        out = _continue_walk(sp, pend, disp, acc, rhob, g, spp.q, mask)
+        return out + (diag,)
 
     return handler
+
+
+def _tally_key(name: str, face: int) -> str:
+    return f"absorb_tally/{name}/f{face}"
 
 
 def absorb_tally():
     """absorb_tally (absorb_tally.c:12-84): absorb the particle, accumulate
     its charge into rhob (corrected trilinear) and count it.  The per-species
-    tally is returned through the handler's closure list for diagnostics."""
-    tallies = []
+    count rides ``SimState.diag`` under key ``absorb_tally/{name}/f{face}``
+    (pre-created by ``handler.diag_init``); read it back host-side with
+    ``tally_of(state.diag, name, face)``."""
 
-    def handler(key, sp, pend, disp, acc, rhob, g: Grid, spp, face):
+    def handler(key, sp, pend, disp, acc, rhob, g: Grid, spp, face,
+                diag=None):
         mask = (pend == CUSTOM_BASE + face) & sp.live
         rhob = deposit_rhob(rhob, g, sp.i, sp.dx, sp.dy, sp.dz, sp.w,
                             spp.q, mask)
@@ -102,46 +116,94 @@ def absorb_tally():
         sp = sp.replace(live=live, w=jnp.where(live, sp.w, 0.0),
                         np=jnp.sum(live.astype(jnp.int32)))
         pend = jnp.where(mask, DONE, pend)
-        tallies.append(jnp.sum(mask.astype(jnp.int32)))
-        return sp, pend, disp, acc, rhob
+        k = _tally_key(spp.name, face)
+        if diag is not None and k in diag:
+            diag = {**diag, k: diag[k] + jnp.sum(mask.astype(jnp.int32))}
+        return sp, pend, disp, acc, rhob, diag
 
-    handler.tallies = tallies
+    def diag_init(sp_params, face):
+        return {_tally_key(spp.name, face): jnp.int32(0)
+                for spp in sp_params}
+
+    handler.diag_init = diag_init
     return handler
 
 
-def link_boundary(prefix: str = "link"):
+def tally_of(diag, species_name: str, face: int) -> int:
+    """Total absorb_tally count for (species, face); sums over shards when
+    the diag leaves carry leading mesh dims."""
+    import numpy as np
+    return int(np.asarray(diag[_tally_key(species_name, face)]).sum())
+
+
+def link_boundary(prefix: str = "link", buffer_size: int = 4096):
     """link_boundary (src/boundary/link.c:18-74): absorbing BC that logs
     absorbed-particle records.  Device side it behaves like absorb_tally;
-    the absorbed records (position, momentum, weight) of each application
-    are appended to the handler's ``records`` list for the host to dump via
-    ``write_links`` (the jit boundary cannot do file I/O itself)."""
-    records = []
+    records land in a fixed-size ring buffer carried in ``SimState.diag``
+    (keys ``link/{prefix}/{name}/f{face}/{n,buf,vox}``) so they survive a
+    jitted lax.scan multi-step; ``handler.write_links(state.diag)`` dumps
+    them to ``{prefix}.{rank}`` host-side (the jit boundary cannot do file
+    I/O itself) and returns the diag with counters reset.  Records past
+    ``buffer_size`` between flushes are counted but not stored."""
+    B = int(buffer_size)
+    tag = f"link/{prefix}/"
 
-    def handler(key, sp, pend, disp, acc, rhob, g: Grid, spp, face):
+    def _k(name, face, leaf):
+        return f"{tag}{name}/f{face}/{leaf}"
+
+    def handler(key, sp, pend, disp, acc, rhob, g: Grid, spp, face,
+                diag=None):
         mask = (pend == CUSTOM_BASE + face) & sp.live
         rhob = deposit_rhob(rhob, g, sp.i, sp.dx, sp.dy, sp.dz, sp.w,
                             spp.q, mask)
-        records.append((spp.name, face, mask, sp.i, sp.dx, sp.dy, sp.dz,
-                        sp.ux, sp.uy, sp.uz, sp.w))
+        kn = _k(spp.name, face, "n")
+        if diag is not None and kn in diag:
+            n0 = diag[kn]
+            pos = n0 + jnp.cumsum(mask.astype(jnp.int32)) - 1
+            tgt = jnp.where(mask & (pos < B), pos, B)   # B rows -> dropped
+            rows = jnp.stack([sp.dx, sp.dy, sp.dz,
+                              sp.ux, sp.uy, sp.uz, sp.w], axis=1)
+            kb, kv = _k(spp.name, face, "buf"), _k(spp.name, face, "vox")
+            diag = {**diag, kn: n0 + jnp.sum(mask.astype(jnp.int32)),
+                    kb: diag[kb].at[tgt].set(rows, mode="drop"),
+                    kv: diag[kv].at[tgt].set(sp.i, mode="drop")}
         live = sp.live & ~mask
         sp = sp.replace(live=live, w=jnp.where(live, sp.w, 0.0),
                         np=jnp.sum(live.astype(jnp.int32)))
         pend = jnp.where(mask, DONE, pend)
-        return sp, pend, disp, acc, rhob
+        return sp, pend, disp, acc, rhob, diag
 
-    def write_links(rank: int = 0):
+    def diag_init(sp_params, face):
+        d = {}
+        for spp in sp_params:
+            d[_k(spp.name, face, "n")] = jnp.int32(0)
+            d[_k(spp.name, face, "buf")] = jnp.zeros((B, 7), jnp.float32)
+            d[_k(spp.name, face, "vox")] = jnp.zeros((B,), jnp.int32)
+        return d
+
+    def write_links(diag, rank: int = 0):
+        """Append buffered records ('name face vox dx dy dz ux uy uz w'
+        lines, the link.c file-per-rank analogue) and return diag with the
+        counters zeroed."""
         import numpy as np
+        out = dict(diag)
         with open(f"{prefix}.{rank}", "a") as fh:
-            for name, face, mask, i, dx, dy, dz, ux, uy, uz, w in records:
-                m = np.asarray(mask)
-                for vals in zip(np.asarray(i)[m], np.asarray(dx)[m],
-                                np.asarray(dy)[m], np.asarray(dz)[m],
-                                np.asarray(ux)[m], np.asarray(uy)[m],
-                                np.asarray(uz)[m], np.asarray(w)[m]):
-                    fh.write(f"{name} {face} " +
-                             " ".join(str(v) for v in vals) + "\n")
-        records.clear()
+            for key in sorted(diag):
+                if not (key.startswith(tag) and key.endswith("/n")):
+                    continue
+                base = key[:-2]
+                name, facestr = base[len(tag):].split("/")
+                n_arr = np.asarray(diag[key]).reshape(-1)
+                buf = np.asarray(diag[base + "/buf"]).reshape(-1, B, 7)
+                vox = np.asarray(diag[base + "/vox"]).reshape(-1, B)
+                for s in range(n_arr.size):
+                    for r in range(min(int(n_arr[s]), B)):
+                        fh.write(f"{name} {facestr[1:]} {vox[s, r]} "
+                                 + " ".join(repr(float(v))
+                                            for v in buf[s, r]) + "\n")
+                out[key] = jnp.zeros_like(diag[key])
+        return out
 
+    handler.diag_init = diag_init
     handler.write_links = write_links
-    handler.records = records
     return handler

@@ -41,6 +41,8 @@ def checkpt(state: SimState, fbase: str, tag=None, sim=None) -> str:
             arrays[f"sp{k}.{n}"] = np.asarray(getattr(sp, n))
     arrays["step"] = np.asarray(state.step)
     arrays["rng"] = np.asarray(state.rng)
+    for n, v in (state.diag or {}).items():
+        arrays[f"diag::{n}"] = np.asarray(v)
     np.savez_compressed(fname + ".npz", **arrays)
 
     if sim is not None:
@@ -91,9 +93,11 @@ def restore(fbase_tag: str, sim=None) -> SimState:
         species.append(SpeciesState(
             **{n: jnp.asarray(data[f"sp{k}.{n}"]) for n in _SP}))
         k += 1
+    diag = {n[len("diag::"):]: jnp.asarray(data[n])
+            for n in data.files if n.startswith("diag::")}
     return SimState(fields=fields, species=tuple(species),
                     step=jnp.asarray(data["step"]),
-                    rng=jnp.asarray(data["rng"]))
+                    rng=jnp.asarray(data["rng"]), diag=diag)
 
 
 def modify(sim, path: str):

@@ -238,7 +238,10 @@ class Simulation:
     def set_region_material(self, region, volume_mat, surface_mat=None):
         """set_region_material (deck/wrapper.h:211-253): assign the volume
         material to every stagger location fully inside the region and the
-        surface material to locations partially inside."""
+        surface material to locations partially inside.  On a decomposed
+        grid every shard's ghosted brick is rasterized with its own global
+        coordinate offsets (the reference's region macros run per MPI rank
+        the same way), giving id meshes with leading topology dims."""
         if isinstance(volume_mat, str):
             volume_mat = self.lookup_material(volume_mat)
         if isinstance(surface_mat, str):
@@ -246,46 +249,58 @@ class Simulation:
         if surface_mat is None:
             surface_mat = volume_mat
         g = self.grid
-        if g.sharded:
-            raise NotImplementedError(
-                "material regions on a sharded grid: materialize per shard "
-                "(planned); decompose after assigning materials for now")
         self._multi_material = True
-        xc = g.x0 + g.dx * (np.arange(g.NX) - 0.5)
-        yc = g.y0 + g.dy * (np.arange(g.NY) - 0.5)
-        zc = g.z0 + g.dz * (np.arange(g.NZ) - 0.5)
-        Z, Y, X = np.meshgrid(zc, yc, xc, indexing="ij")
-        inside = np.vectorize(region, otypes=[bool])(X, Y, Z)
+        if g.sharded and self._mat_ids["cmat"].ndim == 3:
+            self._mat_ids = {k: np.zeros(g.topology + g.shape, np.int16)
+                             for k in self._mat_ids}
 
-        def sh(dz, dy, dx):
-            """inside(cell shifted -d), i.e. out[v] = inside[v - d];
-            False beyond the array edge.  Offsets are 0 or 1."""
-            NZ, NY, NX = inside.shape
-            out = np.zeros_like(inside)
-            out[dz:, dy:, dx:] = inside[:NZ - dz, :NY - dy, :NX - dx]
-            return out
+        def paint(ids_view, sx, sy, sz):
+            xc = g.x0 + g.dx * (sx * g.nx + np.arange(g.NX) - 0.5)
+            yc = g.y0 + g.dy * (sy * g.ny + np.arange(g.NY) - 0.5)
+            zc = g.z0 + g.dz * (sz * g.nz + np.arange(g.NZ) - 0.5)
+            Z, Y, X = np.meshgrid(zc, yc, xc, indexing="ij")
+            inside = np.vectorize(region, otypes=[bool])(X, Y, Z)
 
-        ccc = inside
-        lcc = sh(0, 0, 1)   # cell (i-1, j, k) relative to voxel i
-        clc = sh(0, 1, 0)
-        llc = sh(0, 1, 1)
-        ccl = sh(1, 0, 0)
-        lcl = sh(1, 0, 1)
-        cll = sh(1, 1, 0)
-        lll = sh(1, 1, 1)
+            def sh(dz, dy, dx):
+                """inside(cell shifted -d), i.e. out[v] = inside[v - d];
+                False beyond the array edge.  Offsets are 0 or 1."""
+                NZ, NY, NX = inside.shape
+                out = np.zeros_like(inside)
+                out[dz:, dy:, dx:] = inside[:NZ - dz, :NY - dy, :NX - dx]
+                return out
 
-        combos = dict(
-            ematx=(ccc, clc, ccl, cll), ematy=(ccc, ccl, lcc, lcl),
-            ematz=(ccc, lcc, clc, llc), fmatx=(ccc, lcc),
-            fmaty=(ccc, clc), fmatz=(ccc, ccl),
-            nmat=(ccc, lcc, clc, llc, ccl, lcl, cll, lll))
-        for name, cells in combos.items():
-            any_in = np.logical_or.reduce(cells)
-            all_in = np.logical_and.reduce(cells)
-            ids = self._mat_ids[name]
-            ids[any_in] = surface_mat.id
-            ids[all_in] = volume_mat.id
-        self._mat_ids["cmat"][ccc] = volume_mat.id
+            ccc = inside
+            lcc = sh(0, 0, 1)   # cell (i-1, j, k) relative to voxel i
+            clc = sh(0, 1, 0)
+            llc = sh(0, 1, 1)
+            ccl = sh(1, 0, 0)
+            lcl = sh(1, 0, 1)
+            cll = sh(1, 1, 0)
+            lll = sh(1, 1, 1)
+
+            combos = dict(
+                ematx=(ccc, clc, ccl, cll), ematy=(ccc, ccl, lcc, lcl),
+                ematz=(ccc, lcc, clc, llc), fmatx=(ccc, lcc),
+                fmaty=(ccc, clc), fmatz=(ccc, ccl),
+                nmat=(ccc, lcc, clc, llc, ccl, lcl, cll, lll))
+            for name, cells in combos.items():
+                any_in = np.logical_or.reduce(cells)
+                all_in = np.logical_and.reduce(cells)
+                ids = ids_view[name]
+                ids[any_in] = surface_mat.id
+                ids[all_in] = volume_mat.id
+            ids_view["cmat"][ccc] = volume_mat.id
+
+        if not g.sharded:
+            paint(self._mat_ids, 0, 0, 0)
+        else:
+            px, py, pz = g.topology
+            for sx in range(px):
+                for sy in range(py):
+                    for sz in range(pz):
+                        paint({k: v[sx, sy, sz]
+                               for k, v in self._mat_ids.items()},
+                              sx, sy, sz)
 
     def _axis_coeffs(self, sigma, eps):
         """Exponential differencing coefficients (sfa.c:115-133)."""
@@ -350,6 +365,19 @@ class Simulation:
             nonconductive=j(noncond[ids["nmat"]]),
             epsx=j(eps[ids["ematx"], 0]), epsy=j(eps[ids["ematy"], 1]),
             epsz=j(eps[ids["ematz"], 2]))
+
+    def _local_material_coeffs(self, m: MaterialCoeffs) -> MaterialCoeffs:
+        """Shard-local view of multi-material coefficient meshes: built
+        with leading (px,py,pz) dims by set_region_material, sliced to this
+        shard inside shard_map via the mesh axis indices (the analogue of
+        each MPI rank holding its own sfa_params tables).  No-op for scalar
+        (single-material) coefficients or unsharded grids."""
+        g = self.grid
+        if not (g.sharded and getattr(self, "_multi_material", False)):
+            return m
+        idx = tuple(jax.lax.axis_index(a) for a in g.mesh_axes)
+        return jax.tree.map(
+            lambda a: a[idx] if getattr(a, "ndim", 0) >= 3 else a, m)
 
     # ---------------- species / particles ----------------
 
@@ -550,12 +578,13 @@ class Simulation:
     def initialize(self, key=None) -> SimState:
         """Post-deck derived-state fixups (initialize.cc:5-64)."""
         g = self.grid
-        m = self._material_coeffs()
+        m_global = self._material_coeffs()
         f = self._build_initial_fields()
         species, urbs = self._pack_species()
 
         def _init(state_in):
             f, species, urbs = state_in
+            m = self._local_material_coeffs(m_global)
             rhob = f.rhob.reshape(-1)
             for st, sp, urb in zip(self.species, species, urbs):
                 rhob = P.deposit_rhob(rhob, g, sp.i, sp.dx, sp.dy, sp.dz,
@@ -590,16 +619,26 @@ class Simulation:
         if key is None:
             key = jax.random.PRNGKey(self._entropy.randint(0, 2**31 - 1))
         step0 = jnp.int32(0)
+        # pre-create the jit-carried diagnostics keys (custom-BC tallies,
+        # link buffers) so the dict structure is fixed for lax.scan
+        diag = {}
+        sp_params = [st.params for st in self.species]
+        for face, h in self.pbc_handlers.items():
+            if hasattr(h, "diag_init"):
+                diag.update(h.diag_init(sp_params, face))
         if g.sharded:
             step0 = jnp.zeros(g.topology, jnp.int32)
             key = jnp.broadcast_to(key, g.topology + key.shape)
-        return SimState(fields=f, species=species, step=step0, rng=key)
+            diag = {k: jnp.broadcast_to(v, g.topology + v.shape)
+                    for k, v in diag.items()}
+        return SimState(fields=f, species=species, step=step0, rng=key,
+                        diag=diag)
 
     # ---------------- the step (advance.cc:15-208) ----------------
 
     def make_advance(self) -> Callable[[SimState], SimState]:
         g = self.grid
-        m = self._material_coeffs()
+        m_global = self._material_coeffs()
         damp = self.damp
         sp_params = [st.params for st in self.species]
         collision_ops = tuple(self.collision_ops)
@@ -636,6 +675,10 @@ class Simulation:
             species = list(state.species)
             step = state.step
             rng = state.rng
+            m = self._local_material_coeffs(m_global)
+            # jit-carried diagnostics (custom-BC tallies etc.); structure is
+            # fixed at initialize() so it can ride a lax.scan carry
+            diag = state.diag if state.diag is not None else {}
 
             # --- sort (performance + collision partition) ---
             if not use_fused:
@@ -710,11 +753,11 @@ class Simulation:
                         pends.append(pend)
                         disps.append(disp)
                     else:
-                        sp, acc_small, rhob = PP.outlier_pass(
+                        sp, acc_small, rhob, diag = PP.outlier_pass(
                             sp, oflag, fcoef_T, g, spp.q, spp.m,
                             acc_small, rhob, self.max_streak, spp=spp,
                             custom_handlers=self.pbc_handlers, key=okey,
-                            remap_fn=remap3)
+                            remap_fn=remap3, diag=diag)
                     species[k] = sp
                 # --- emission / user injection (advance.cc:58-60, before
                 # boundary_p like the reference): runs on the standard-
@@ -730,11 +773,12 @@ class Simulation:
                             species, f, fcoef, acc_small, rhob, g, step,
                             ekey)
                 if g.sharded:
-                    species, acc_small, rhob, _ = B.boundary_p(
+                    species, acc_small, rhob, _, diag = B.boundary_p(
                         species, sp_params, pends, disps, acc_small, rhob,
                         g, num_comm_round=self.num_comm_round,
                         max_streak=self.max_streak,
-                        custom_handlers=self.pbc_handlers, key=bkey)
+                        custom_handlers=self.pbc_handlers, key=bkey,
+                        diag=diag)
                 if fused3:
                     acc_T = PP3.fold_chart_acc(acc_T, g)
                 acc_T = PP.fold_ghost_acc_T(acc_T, g)
@@ -770,11 +814,12 @@ class Simulation:
                 if needs_boundary:
                     rng, bkey = jax.random.split(
                         jax.random.fold_in(rng, step))
-                    species, acc, rhob, _ = B.boundary_p(
+                    species, acc, rhob, _, diag = B.boundary_p(
                         species, sp_params, pends, disps, acc, rhob, g,
                         num_comm_round=self.num_comm_round,
                         max_streak=self.max_streak,
-                        custom_handlers=self.pbc_handlers, key=bkey)
+                        custom_handlers=self.pbc_handlers, key=bkey,
+                        diag=diag)
 
                 f = F.clear_jf(f)
                 f = I.unload_accumulator(f, acc, g)
@@ -826,7 +871,9 @@ class Simulation:
                                  lambda f: f, f)
 
             return state.replace(fields=f, species=tuple(species),
-                                 step=step + 1, rng=rng)
+                                 step=step + 1, rng=rng,
+                                 diag=diag if state.diag is not None
+                                 else None)
 
         advance.uses_pallas = use_fused
         return advance
@@ -914,7 +961,7 @@ class Simulation:
 
     def _energies_local(self, f, species):
         g = self.grid
-        m = self._material_coeffs()
+        m = self._local_material_coeffs(self._material_coeffs())
         en_f = F.all_sum(F.energy_f(f, g, m), g)
         if not g.sharded:
             # fused-path states may hold particles in periodic ghost cells

@@ -97,9 +97,15 @@ def _shard_iter(g: Grid, arr):
                 rank += 1
 
 
+MAT_ID_ORDER = ("ematx", "ematy", "ematz", "nmat",
+                "fmatx", "fmaty", "fmatz", "cmat")
+
+
 def dump_fields(sim, state, fbase: str, ftag: Optional[int] = None):
     """field_dump (dump.cc:518+): V0 header + one interleaved field_t
-    record per ghosted voxel: 16 floats + 8 material-id int16s."""
+    record per ghosted voxel: 16 floats + the 8 per-voxel material-id
+    int16s (field_advance.h:152-160 member order) from the deck's
+    stagger-class id meshes."""
     g = sim.grid
     step = int(np.asarray(state.step).max())
     tag = step if ftag is None else ftag
@@ -112,16 +118,21 @@ def dump_fields(sim, state, fbase: str, ftag: Optional[int] = None):
         names.append(f"{fbase}.{tag}.{rank}")
     shard_arrays = {c: list(_shard_iter(g, getattr(f, c)))
                     for c in comp_order}
+    mat_ids = getattr(sim, "_mat_ids", None)
     for rank in range(g.n_shards):
-        rec = np.zeros((g.nv, 20), np.float32)
+        rec = np.zeros((g.nv,), dtype=[("f", "<f4", (16,)),
+                                       ("m", "<i2", (8,))])  # field_t
         for ci, c in enumerate(comp_order):
-            rec[:, ci] = shard_arrays[c][rank][1].reshape(-1)
-        # material ids (8 int16) packed into 4 float32 slots; zero = first
-        # material, which is what single-material meshes have
-        body = rec.astype("<f4").tobytes()
+            rec["f"][:, ci] = shard_arrays[c][rank][1].reshape(-1)
+        if mat_ids is not None:
+            for mi, mc in enumerate(MAT_ID_ORDER):
+                ids = mat_ids[mc]
+                if ids.ndim == 6:          # sharded: topology-leading dims
+                    ids = ids.reshape((g.n_shards,) + g.shape)[rank]
+                rec["m"][:, mi] = ids.reshape(-1)
         hdr = _header_v0(g, step, DUMP_FIELDS, rank=rank)
         hdr += _array_header(80, [g.NX, g.NY, g.NZ])
-        native_io.write_file(names[rank], hdr + body)
+        native_io.write_file(names[rank], hdr + rec.tobytes())
     return names
 
 

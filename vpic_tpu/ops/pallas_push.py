@@ -840,7 +840,7 @@ def outlier_pass(sp: SpeciesState, oflag, fcoef_T, g: Grid,
                  qsp: float, msp: float, acc_small, rhob_flat,
                  max_streak: int = 4, cap: int = 0, spp=None,
                  custom_handlers=None, key=None, return_pends: bool = False,
-                 remap_fn=None, encode_fn=None):
+                 remap_fn=None, encode_fn=None, diag=None):
     """Redo entry-guard-flagged lanes through the general XLA advance_p on
     a compacted fixed-size buffer, under a lax.cond so the common
     no-outlier step pays (nearly) nothing.  Two lane classes land here,
@@ -849,17 +849,20 @@ def outlier_pass(sp: SpeciesState, oflag, fcoef_T, g: Grid,
     replays them exactly -- including absorb-with-rhob -- and any custom
     particle-BC pends are dispatched to ``custom_handlers`` (requires
     ``spp``/``key``) like the general path's boundary_p.  acc_small is a
-    separate (nv, 12) accumulator merged at unload."""
+    separate (nv, 12) accumulator merged at unload.  ``diag`` (if given) is
+    the jit-carried diagnostics dict threaded through handler dispatch and
+    returned as the extra last element."""
     from .push import DONE, advance_p
     N = sp.capacity
     cap = cap or max(1024, N // 128)
     pend0 = jnp.full((N,), DONE, jnp.int32)
     zeros = jnp.zeros((N,), jnp.float32)
+    diag_c = {} if diag is None else diag
 
     remap = remap_fn or (lambda s: remap_ghost_voxels(s, g))
 
     def body(carry):
-        sp, acc_small, rhob_flat, flags, pend, disp, it = carry
+        sp, acc_small, rhob_flat, dg, flags, pend, disp, it = carry
         small, _, idx, valid = _compact(sp, flags, (), cap)
         small = remap(small)
         rows = fcoef_T[:, small.i].T                   # (cap, 18)
@@ -877,30 +880,32 @@ def outlier_pass(sp: SpeciesState, oflag, fcoef_T, g: Grid,
                          for z, d in zip(disp, res.pend_disp))
         elif custom_handlers:
             from .. import boundary as B
-            [s2], acc2, rhob2, _ = B.boundary_p(
+            [s2], acc2, rhob2, _, dg = B.boundary_p(
                 [s2], [spp], [res.pend_face], [res.pend_disp], acc2,
                 rhob2, g, num_comm_round=0, max_streak=max_streak,
                 custom_handlers=custom_handlers,
-                key=jax.random.fold_in(key, it))
+                key=jax.random.fold_in(key, it), diag=dg)
         if encode_fn is not None:
             s2 = encode_fn(s2)   # canonical -> chart index for storage
         sp = _scatter_back(sp, s2, idx, valid)
         flags = flags.at[tgt].set(False, mode="drop")
-        return sp, acc2, rhob2, flags, pend, disp, it + 1
+        return sp, acc2, rhob2, dg, flags, pend, disp, it + 1
 
     # batch-process until no flags remain (a step with more outliers than
     # cap just takes extra rounds instead of silently stalling lanes);
     # the outer cond keeps the common no-outlier step from even building
     # the while carry.
-    init = (sp, acc_small, rhob_flat, oflag == 1, pend0,
+    init = (sp, acc_small, rhob_flat, diag_c, oflag == 1, pend0,
             (zeros, zeros, zeros), jnp.int32(0))
     out = jax.lax.cond(
         jnp.any(oflag == 1),
-        lambda a: jax.lax.while_loop(lambda c: jnp.any(c[3]), body, a),
+        lambda a: jax.lax.while_loop(lambda c: jnp.any(c[4]), body, a),
         lambda a: a, init)
-    sp, acc_small, rhob_flat, _, pend, disp, _ = out
+    sp, acc_small, rhob_flat, diag_c, _, pend, disp, _ = out
     if return_pends:
         return sp, acc_small, rhob_flat, pend, disp
+    if diag is not None:
+        return sp, acc_small, rhob_flat, diag_c
     return sp, acc_small, rhob_flat
 
 

@@ -179,6 +179,11 @@ class SimState:
     species: Tuple[SpeciesState, ...]
     step: Any          # int32 scalar
     rng: Any           # jax PRNG key (sync pool seed; per-use fold_in)
+    # Diagnostics accumulated by the jitted step (dict of named device
+    # scalars, e.g. absorb_tally counts): carried functionally so counts
+    # survive lax.scan multi-stepping (the TPU answer to the reference's
+    # host-side pbc_interactor tallies, absorb_tally.c:12-84)
+    diag: Any = None
 
     def replace(self, **kw) -> "SimState":
         return dataclasses.replace(self, **kw)
