@@ -28,11 +28,24 @@ def test_supports(setup):
 def test_bucket_sort_groups(setup):
     sim, state = setup
     g = sim.grid
-    sp = PP.bucket_sort_p(state.species[0], g)
+    # full per-lane sort: strictly bucket-monotone over live lanes
+    sp = PP.bucket_sort_p(state.species[0], g, pack=1)
     live = np.asarray(sp.live)
     buckets = np.asarray(sp.i)[live] // PP.BUCKET
     assert (np.diff(buckets) >= 0).all()
     assert int(np.asarray(sp.live).sum()) == int(state.species[0].np)
+    # quad-row sort: monotone in the per-quad min-bucket key and any
+    # member strays at most ~a bucket from it (window-locality contract)
+    spq = PP.bucket_sort_p(sp, g, pack=4)
+    assert int(np.asarray(spq.live).sum()) == int(state.species[0].np)
+    N = spq.capacity
+    b = np.where(np.asarray(spq.live),
+                 np.asarray(spq.i) // PP.BUCKET,
+                 (g.nv + PP.BUCKET - 1) // PP.BUCKET)
+    qmin = b.reshape(N // 4, 4).min(axis=1)
+    assert (np.diff(qmin) >= 0).all()
+    spread = b.reshape(N // 4, 4).max(axis=1) - qmin
+    assert spread[b.reshape(N // 4, 4).min(axis=1) < qmin.max()].max() <= 1
 
 
 def test_single_push_matches_xla(setup):

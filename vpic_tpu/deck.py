@@ -733,7 +733,7 @@ class Simulation:
                         sp = jax.lax.cond(
                             step % sortK == 0,
                             lambda s: PP.bucket_sort_p(
-                                PP.remap_ghost_voxels(s, g), g),
+                                PP.remap_ghost_voxels(s, g), g, pack=1),
                             lambda s: s, species[k])
                         sp, acc_T, oflag, _ = PP.fused_push(
                             sp, fcoef_T, acc_T, g, spp.q, spp.m,

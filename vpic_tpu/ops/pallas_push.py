@@ -215,18 +215,30 @@ def _sort_dest(b, nb: int, N: int, C: int = 256, R: int = 128):
     return (off_base + rank).astype(jnp.int32)[:N]
 
 
-def bucket_sort_p(sp: SpeciesState, g: Grid, bucket: int = BUCKET):
+def bucket_sort_p(sp: SpeciesState, g: Grid, bucket: int = BUCKET,
+                  pack: int = 4):
     """O(N) stable counting sort by coarse voxel bucket (dead slots last).
 
     The fused kernel only needs particles grouped within its voxel window,
     not fully ordered, so a coarse counting sort replaces the argsort the
     general sort_p uses -- the TPU re-expression of the reference's
     coarse/fine two-pass sort (sort_p_pipeline.c: coarse histogram ->
-    prefix -> scatter)."""
+    prefix -> scatter).
+
+    The permutation moves PACK consecutive lanes as one row (key = min live
+    bucket of the group): row moves pay a flat per-row cost on this chip,
+    so pack-4 cuts the dominant gather+scatter ~4x.  Group members sit in
+    adjacent buckets after any previous sort, so window margins absorb the
+    straddle; a stray member (e.g. a fresh injection into a recycled slot)
+    is entry-guard-flagged and replayed exactly by the outlier pass."""
     N = sp.capacity
+    while pack > 1 and N % pack:
+        pack //= 2
     nb = _round_up(g.nv, bucket) // bucket
     b = jnp.where(sp.live, sp.i // bucket, nb)
-    dest = _sort_dest(b, nb, N)
+    if pack > 1:
+        b = jnp.min(b.reshape(N // pack, pack), axis=1)
+    dest = _sort_dest(b, nb, N // pack)
 
     # Move rows with a GATHER by the inverse permutation: on this chip a
     # row gather runs ~16x faster than the equivalent row scatter (80 ms ->
@@ -234,13 +246,14 @@ def bucket_sort_p(sp: SpeciesState, g: Grid, bucket: int = BUCKET):
     from .push import gather_rows, invert_perm
     dx, dy, dz, ux, uy, uz, w, i, live = gather_rows(
         invert_perm(dest), sp.dx, sp.dy, sp.dz, sp.ux, sp.uy, sp.uz,
-        sp.w, sp.i, sp.live)
+        sp.w, sp.i, sp.live, pack=pack)
     return sp.replace(dx=dx, dy=dy, dz=dz, ux=ux, uy=uy, uz=uz, w=w,
                       i=i, live=live)
 
 
 def _kernel(g: Grid, qsp, msp, max_streak, P, V, nvp, resident, ablate,
             w0_ref,  # scalar prefetch: (nblocks,) window starts (int32)
+            nl_ref,  # scalar prefetch: (nblocks,) live-lane counts (int32)
             dx_ref, dy_ref, dz_ref, vox_ref, ux_ref, uy_ref, uz_ref,
             w_ref, live_ref, tab_ref, acc_in_ref,
             odx_ref, ody_ref, odz_ref, ovox_ref, oux_ref, ouy_ref,
@@ -282,6 +295,30 @@ def _kernel(g: Grid, qsp, msp, max_streak, P, V, nvp, resident, ablate,
             tdma.wait()
             adma.wait()
     else:
+        @pl.when(b == 0)
+        def _():
+            oow_ref[0, 0] = 0
+
+    # Dead-block skip: the bucket sort packs dead lanes last, so capacity
+    # slack shows up as whole blocks with zero live lanes; they pass their
+    # state through and skip all compute + DMA (a ~1.5x-capacity species
+    # pays ~the live blocks only).
+    nl = nl_ref[b]
+
+    @pl.when(nl == 0)
+    def _passthrough():
+        odx_ref[:] = dx_ref[:]
+        ody_ref[:] = dy_ref[:]
+        odz_ref[:] = dz_ref[:]
+        ovox_ref[:] = vox_ref[:]
+        oux_ref[:] = ux_ref[:]
+        ouy_ref[:] = uy_ref[:]
+        ouz_ref[:] = uz_ref[:]
+        oflag_ref[:] = jnp.zeros((P,), jnp.int32)
+
+    @pl.when(nl > 0)
+    def _live_body():
+      if not resident:
         # Stream this block's table window from HBM (the whole table can
         # exceed VMEM at large grid sizes).  The accumulator stays in HBM
         # (aliased input/output); each block read-modify-writes only its
@@ -290,300 +327,312 @@ def _kernel(g: Grid, qsp, msp, max_streak, P, V, nvp, resident, ablate,
         tdma = pltpu.make_async_copy(tab_ref.at[pl.ds(s24, 24 * H), :],
                                      tab_scratch, tab_sem)
         tdma.start()
-
-        @pl.when(b == 0)
-        def _():
-            oow_ref[0, 0] = 0
         adma_in = pltpu.make_async_copy(acc_ref.at[pl.ds(s16, 16 * H), :],
                                         acc_scratch, acc_sem)
         adma_in.start()
         tdma.wait()
 
-    dx = dx_ref[:]
-    dy = dy_ref[:]
-    dz = dz_ref[:]
-    vox = vox_ref[:]
-    ux = ux_ref[:]
-    uy = uy_ref[:]
-    uz = uz_ref[:]
-    w = w_ref[:]
-    live = live_ref[:] > 0
+      dx = dx_ref[:]
+      dy = dy_ref[:]
+      dz = dz_ref[:]
+      vox = vox_ref[:]
+      ux = ux_ref[:]
+      uy = uy_ref[:]
+      uz = uz_ref[:]
+      w = w_ref[:]
+      live = live_ref[:] > 0
 
-    lane_r = jax.lax.broadcasted_iota(jnp.int32, (P, 128), 1)
-    iota_h = jax.lax.broadcasted_iota(jnp.int32, (H, P), 0)
-    # Entry guard: a lane whose voxel cannot stay inside the window for the
-    # whole walk is FROZEN (state passes through untouched) and flagged for
-    # the caller's compact XLA outlier pass -- stale-sort drift lands here,
-    # so the fused path stays exact at any sort interval.  One step moves
-    # the (unwrapped) linear index by at most NX (y crossing) + nx (x
-    # periodic re-map) + 1, hence GUARD = 2*NX.
-    GUARD = 2 * g.NX
-    loc0 = vox - w0
-    safe = live & (loc0 >= GUARD) & (loc0 < V - GUARD)
-    entry_flag = live & ~safe
-    # w0 is 128-aligned, so lo = loc0 % 128 == vox % 128 for safe lanes
-    if ablate & 8:
-        oh_lo0 = jnp.zeros((P, 128), jnp.bfloat16)
-        ohhi0 = jnp.zeros((H, P), jnp.float32)
-    else:
-        lo0 = jnp.where(safe, loc0 & 127, -1)[:, None]
-        oh_lo0 = (lane_r == lo0).astype(jnp.bfloat16)      # (P, 128)
-        ohhi0 = (iota_h == (loc0 // 128)[None, :]).astype(
-            jnp.float32)                                   # (H, P)
+      lane_r = jax.lax.broadcasted_iota(jnp.int32, (P, 128), 1)
+      iota_h = jax.lax.broadcasted_iota(jnp.int32, (H, P), 0)
+      # Entry guard: a lane whose voxel cannot stay inside the window for the
+      # whole walk is FROZEN (state passes through untouched) and flagged for
+      # the caller's compact XLA outlier pass -- stale-sort drift lands here,
+      # so the fused path stays exact at any sort interval.  One step moves
+      # the (unwrapped) linear index by at most NX (y crossing) + nx (x
+      # periodic re-map) + 1, hence GUARD = 2*NX.
+      GUARD = 2 * g.NX
+      loc0 = vox - w0
+      safe = live & (loc0 >= GUARD) & (loc0 < V - GUARD)
+      entry_flag = live & ~safe
+      # w0 is 128-aligned, so lo = loc0 % 128 == vox % 128 for safe lanes
+      if ablate & 8:
+          oh_lo0 = jnp.zeros((P, 128), jnp.bfloat16)
+          ohhi0 = jnp.zeros((H, P), jnp.float32)
+      else:
+          lo0 = jnp.where(safe, loc0 & 127, -1)[:, None]
+          oh_lo0 = (lane_r == lo0).astype(jnp.bfloat16)      # (P, 128)
+          ohhi0 = (iota_h == (loc0 // 128)[None, :]).astype(
+              jnp.float32)                                   # (H, P)
 
-    if ablate & 4:
-        rows = jnp.zeros((24, P), jnp.float32)
-    else:
-        if resident:
-            tab_win = tab_scratch[pl.ds(s24, 24 * H), :]   # (24H, 128)
-        else:
-            tab_win = tab_scratch[:, :]
-        G2 = _hilo_dot(tab_win, oh_lo0, ((1,), (1,)))      # (24H, P)
-        rows = G2[0:24] * ohhi0[0]
-        for h in range(1, H):
-            rows = rows + G2[24 * h:24 * (h + 1)] * ohhi0[h]   # (24, P)
+      if ablate & 4:
+          rows = jnp.zeros((24, P), jnp.float32)
+      else:
+          if resident:
+              tab_win = tab_scratch[pl.ds(s24, 24 * H), :]   # (24H, 128)
+          else:
+              tab_win = tab_scratch[:, :]
+          G2 = _hilo_dot(tab_win, oh_lo0, ((1,), (1,)))      # (24H, P)
+          rows = G2[0:24] * ohhi0[0]
+          for h in range(1, H):
+              rows = rows + G2[24 * h:24 * (h + 1)] * ohhi0[h]   # (24, P)
 
-    if ablate & 16:
-        dpx = dpy = dpz = jnp.zeros_like(dx)
-    else:
-        hax = qdt_2mc * ((rows[0] + dy * rows[1])
-                         + dz * (rows[2] + dy * rows[3]))
-        hay = qdt_2mc * ((rows[4] + dz * rows[5])
-                         + dx * (rows[6] + dz * rows[7]))
-        haz = qdt_2mc * ((rows[8] + dx * rows[9])
-                         + dy * (rows[10] + dx * rows[11]))
-        cbx = rows[12] + dx * rows[13]
-        cby = rows[14] + dy * rows[15]
-        cbz = rows[16] + dz * rows[17]
+      if ablate & 16:
+          dpx = dpy = dpz = jnp.zeros_like(dx)
+      else:
+          hax = qdt_2mc * ((rows[0] + dy * rows[1])
+                           + dz * (rows[2] + dy * rows[3]))
+          hay = qdt_2mc * ((rows[4] + dz * rows[5])
+                           + dx * (rows[6] + dz * rows[7]))
+          haz = qdt_2mc * ((rows[8] + dx * rows[9])
+                           + dy * (rows[10] + dx * rows[11]))
+          cbx = rows[12] + dx * rows[13]
+          cby = rows[14] + dy * rows[15]
+          cbz = rows[16] + dz * rows[17]
 
-        ux = ux + hax
-        uy = uy + hay
-        uz = uz + haz
-        v0 = qdt_2mc * jax.lax.rsqrt(1.0 + (ux * ux + (uy * uy + uz * uz)))
-        v1 = cbx * cbx + (cby * cby + cbz * cbz)
-        v2 = (v0 * v0) * v1
-        v3 = v0 * (1.0 + v2 * (ONE_THIRD + v2 * TWO_FIFTEENTHS))
-        v4 = v3 / (1.0 + v1 * (v3 * v3))
-        v4 = v4 + v4
-        t0 = ux + v3 * (uy * cbz - uz * cby)
-        t1 = uy + v3 * (uz * cbx - ux * cbz)
-        t2 = uz + v3 * (ux * cby - uy * cbx)
-        ux = ux + v4 * (t1 * cbz - t2 * cby)
-        uy = uy + v4 * (t2 * cbx - t0 * cbz)
-        uz = uz + v4 * (t0 * cby - t1 * cbx)
-        ux = ux + hax
-        uy = uy + hay
-        uz = uz + haz
+          ux = ux + hax
+          uy = uy + hay
+          uz = uz + haz
+          v0 = qdt_2mc * jax.lax.rsqrt(1.0 + (ux * ux + (uy * uy + uz * uz)))
+          v1 = cbx * cbx + (cby * cby + cbz * cbz)
+          v2 = (v0 * v0) * v1
+          v3 = v0 * (1.0 + v2 * (ONE_THIRD + v2 * TWO_FIFTEENTHS))
+          v4 = v3 / (1.0 + v1 * (v3 * v3))
+          v4 = v4 + v4
+          t0 = ux + v3 * (uy * cbz - uz * cby)
+          t1 = uy + v3 * (uz * cbx - ux * cbz)
+          t2 = uz + v3 * (ux * cby - uy * cbx)
+          ux = ux + v4 * (t1 * cbz - t2 * cby)
+          uy = uy + v4 * (t2 * cbx - t0 * cbz)
+          uz = uz + v4 * (t0 * cby - t1 * cbx)
+          ux = ux + hax
+          uy = uy + hay
+          uz = uz + haz
 
-        rg = jax.lax.rsqrt(1.0 + (ux * ux + (uy * uy + uz * uz)))
-        dpx = ux * cdt_dx * rg
-        dpy = uy * cdt_dy * rg
-        dpz = uz * cdt_dz * rg
+          rg = jax.lax.rsqrt(1.0 + (ux * ux + (uy * uy + uz * uz)))
+          dpx = ux * cdt_dx * rg
+          dpy = uy * cdt_dy * rg
+          dpz = uz * cdt_dz * rg
 
-    # Decode voxel coords (nz == 1: z pinned at plane 1).  yi is UNWRAPPED:
-    # residents of the y-image ranges (see module docstring) decode to
-    # yi < 0 / yi >= NY and vox_cur = xi + NX*(yi + NY) puts them right
-    # back; canonical plane-1 voxels give the usual yi in [0, NY).
-    vq = _div_const(vox, g.NX, 3 * g.sz)
-    yi = vq - g.NY
-    xi = vox - g.NX * vq
+      # Decode voxel coords (nz == 1: z pinned at plane 1).  yi is UNWRAPPED:
+      # residents of the y-image ranges (see module docstring) decode to
+      # yi < 0 / yi >= NY and vox_cur = xi + NX*(yi + NY) puts them right
+      # back; canonical plane-1 voxels give the usual yi in [0, NY).
+      vq = _div_const(vox, g.NX, 3 * g.sz)
+      yi = vq - g.NY
+      xi = vox - g.NX * vq
 
-    # Wall pre-flag: a lane whose step would cross a face whose BC the
-    # kernel does not implement (absorb / custom / remote) is frozen
-    # UNTOUCHED and flagged; the compact XLA outlier pass replays it with
-    # full boundary semantics (rhob deposit, tallies, custom handlers).
-    # Under CFL a particle crosses at most one face per axis per step, so
-    # the edge-cell + final-position test is exact; the small margin
-    # absorbs ULP disagreement with the walk's (dir-p)/dp face test (a
-    # missed lane parks at the face and is flagged next step).
-    eps = 1e-5
-    coords3 = (xi, yi, jnp.ones_like(xi))
-    pos3 = (dx, dy, dz)
-    dp3 = (dpx, dpy, dpz)
-    wall = jnp.zeros_like(safe)
-    for ax in range(3):
-        n_ax = (g.nx, g.ny, g.nz)[ax]
-        for side in (-1, 1):
-            if _eff_bc(g, ax, side) in (P_PERIODIC, REFLECT_PARTICLES):
-                continue
-            edge = 1 if side < 0 else n_ax
-            p_new = pos3[ax] + 2.0 * dp3[ax]
-            beyond = (p_new < -1.0 + eps) if side < 0 else (p_new > 1.0 - eps)
-            wall = wall | ((coords3[ax] == edge) & beyond)
-    safe = safe & ~wall
-    entry_flag = entry_flag | (live & wall)
+      # Wall pre-flag: a lane whose step would cross a face whose BC the
+      # kernel does not implement (absorb / custom / remote) is frozen
+      # UNTOUCHED and flagged; the compact XLA outlier pass replays it with
+      # full boundary semantics (rhob deposit, tallies, custom handlers).
+      # Under CFL a particle crosses at most one face per axis per step, so
+      # the edge-cell + final-position test is exact; the small margin
+      # absorbs ULP disagreement with the walk's (dir-p)/dp face test (a
+      # missed lane parks at the face and is flagged next step).
+      eps = 1e-5
+      coords3 = (xi, yi, jnp.ones_like(xi))
+      pos3 = (dx, dy, dz)
+      dp3 = (dpx, dpy, dpz)
+      wall = jnp.zeros_like(safe)
+      for ax in range(3):
+          n_ax = (g.nx, g.ny, g.nz)[ax]
+          for side in (-1, 1):
+              if _eff_bc(g, ax, side) in (P_PERIODIC, REFLECT_PARTICLES):
+                  continue
+              edge = 1 if side < 0 else n_ax
+              p_new = pos3[ax] + 2.0 * dp3[ax]
+              beyond = (p_new < -1.0 + eps) if side < 0 else (p_new > 1.0 - eps)
+              wall = wall | ((coords3[ax] == edge) & beyond)
+      safe = safe & ~wall
+      entry_flag = entry_flag | (live & wall)
 
-    q0 = jnp.where(safe, qsp * w, 0.0)
-    active = safe
-    if not resident:
-        adma_in.wait()
+      q0 = jnp.where(safe, qsp * w, 0.0)
+      active = safe
+      if not resident:
+          adma_in.wait()
 
-    px, py, pz = dx, dy, dz
-    for round_idx in range(0 if ablate & 2 else max_streak):
-        dirx = jnp.where(dpx > 0, 1.0, -1.0)
-        diry = jnp.where(dpy > 0, 1.0, -1.0)
-        dirz = jnp.where(dpz > 0, 1.0, -1.0)
-        s0 = jnp.where(dpx == 0, BIG, (dirx - px) / jnp.where(dpx == 0, 1, dpx))
-        s1 = jnp.where(dpy == 0, BIG, (diry - py) / jnp.where(dpy == 0, 1, dpy))
-        s2 = jnp.where(dpz == 0, BIG, (dirz - pz) / jnp.where(dpz == 0, 1, dpz))
-        v3w = jnp.full_like(s0, 2.0)
-        axis = jnp.full_like(xi, 3)
-        for k, sk in enumerate((s0, s1, s2)):
-            tk = sk < v3w
-            v3w = jnp.where(tk, sk, v3w)
-            axis = jnp.where(tk, k, axis)
-        frac = 0.5 * v3w
-        sdx = dpx * frac
-        sdy = dpy * frac
-        sdz = dpz * frac
-        midx = px + sdx
-        midy = py + sdy
-        midz = pz + sdz
+      px, py, pz = dx, dy, dz
+      for round_idx in range(0 if ablate & 2 else max_streak):
+          dirx = jnp.where(dpx > 0, 1.0, -1.0)
+          diry = jnp.where(dpy > 0, 1.0, -1.0)
+          dirz = jnp.where(dpz > 0, 1.0, -1.0)
+          s0 = jnp.where(dpx == 0, BIG, (dirx - px) / jnp.where(dpx == 0, 1, dpx))
+          s1 = jnp.where(dpy == 0, BIG, (diry - py) / jnp.where(dpy == 0, 1, dpy))
+          s2 = jnp.where(dpz == 0, BIG, (dirz - pz) / jnp.where(dpz == 0, 1, dpz))
+          v3w = jnp.full_like(s0, 2.0)
+          axis = jnp.full_like(xi, 3)
+          for k, sk in enumerate((s0, s1, s2)):
+              tk = sk < v3w
+              v3w = jnp.where(tk, sk, v3w)
+              axis = jnp.where(tk, k, axis)
+          frac = 0.5 * v3w
+          sdx = dpx * frac
+          sdy = dpy * frac
+          sdz = dpz * frac
+          midx = px + sdx
+          midy = py + sdy
+          midz = pz + sdz
 
-        qa = jnp.where(active, q0, 0.0)
-        v5 = qa * sdx * sdy * sdz * ONE_THIRD
+          qa = jnp.where(active, q0, 0.0)
+          v5 = qa * sdx * sdy * sdz * ONE_THIRD
 
-        def quad(qu, dY, dZ):
-            a1 = qu * dY
-            a0 = qu - a1
-            a1 = a1 + qu
-            c = 1.0 + dZ
-            a2 = a0 * c
-            a3 = a1 * c
-            d = 1.0 - dZ
-            return (a0 * d + v5, a1 * d - v5, a2 - v5, a3 + v5)
+          def quad(qu, dY, dZ):
+              a1 = qu * dY
+              a0 = qu - a1
+              a1 = a1 + qu
+              c = 1.0 + dZ
+              a2 = a0 * c
+              a3 = a1 * c
+              d = 1.0 - dZ
+              return (a0 * d + v5, a1 * d - v5, a2 - v5, a3 + v5)
 
-        jxs = quad(qa * sdx, midy, midz)
-        jys = quad(qa * sdy, midz, midx)
-        jzs = quad(qa * sdz, midx, midy)
-        zero4 = (jnp.zeros_like(sdx),) * 4   # pad to 16 rows (tile align)
-        vals = jnp.stack(jxs + jys + jzs + zero4, axis=0)  # (16, P)
+          jxs = quad(qa * sdx, midy, midz)
+          jys = quad(qa * sdy, midz, midx)
+          jzs = quad(qa * sdz, midx, midy)
+          zero4 = (jnp.zeros_like(sdx),) * 4   # pad to 16 rows (tile align)
+          vals = jnp.stack(jxs + jys + jzs + zero4, axis=0)  # (16, P)
 
-        vox_cur = xi + g.NX * (yi + g.NY * 1)
+          vox_cur = xi + g.NX * (yi + g.NY * 1)
 
-        def deposit(vals=vals, vox_cur=vox_cur, active=active,
-                    reuse=None):
-            loc = vox_cur - w0
-            if reuse is None:
-                okw = (loc >= 0) & (loc < V)
-                lo = jnp.where(okw, loc & 127, -1)[:, None]
-                oh_lo = (lane_r == lo).astype(jnp.bfloat16)
-                ohhi = (iota_h == (loc // 128)[None, :]).astype(jnp.float32)
-            else:
-                # round 0: position == gather position, reuse its one-hots
-                oh_lo, ohhi = reuse
-            # (16H, P) h-major stack of hi-digit-selected quarter currents
-            rhsT = jnp.concatenate([vals * ohhi[h] for h in range(H)],
-                                   axis=0)
-            # terms=3: deposited current at better-than-f32 accuracy (one
-            # extra MXU pass); the gather stays terms=2 (field values are
-            # smooth, 2^-18 relative is ample there).
-            upd = _hilo_dot(rhsT, oh_lo, ((1,), (0,)), terms=3)  # (16H, 128)
-            if resident:
-                acc_scratch[pl.ds(s16, 16 * H), :] += upd
-            else:
-                acc_scratch[:, :] += upd
-            oow_ref[0, 0] += jnp.sum(jnp.where(
-                active & ((vox_cur - w0 < 0) | (vox_cur - w0 >= V)), 1, 0))
+          def deposit(vals=vals, vox_cur=vox_cur, active=active,
+                      reuse=None):
+              loc = vox_cur - w0
+              if reuse is None:
+                  okw = (loc >= 0) & (loc < V)
+                  lo = jnp.where(okw, loc & 127, -1)[:, None]
+                  oh_lo = (lane_r == lo).astype(jnp.bfloat16)
+                  ohhi = (iota_h == (loc // 128)[None, :]).astype(jnp.float32)
+              else:
+                  # round 0: position == gather position, reuse its one-hots
+                  oh_lo, ohhi = reuse
+              # (16H, P) h-major stack of hi-digit-selected quarter currents
+              rhsT = jnp.concatenate([vals * ohhi[h] for h in range(H)],
+                                     axis=0)
+              # terms=3: deposited current at better-than-f32 accuracy (one
+              # extra MXU pass); the gather stays terms=2 (field values are
+              # smooth, 2^-18 relative is ample there).
+              upd = _hilo_dot(rhsT, oh_lo, ((1,), (0,)), terms=3)  # (16H, 128)
+              if resident:
+                  acc_scratch[pl.ds(s16, 16 * H), :] += upd
+              else:
+                  acc_scratch[:, :] += upd
+              oow_ref[0, 0] += jnp.sum(jnp.where(
+                  active & ((vox_cur - w0 < 0) | (vox_cur - w0 >= V)), 1, 0))
 
-        if ablate & 1:
-            pass
-        elif round_idx == 0:
-            deposit(reuse=(oh_lo0, ohhi0))
-        else:
-            # common case: nobody crossed again -> skip the MXU work
-            pl.when(jnp.any(active))(deposit)
+          if ablate & 1:
+              pass
+          elif round_idx == 0:
+              deposit(reuse=(oh_lo0, ohhi0))
+          else:
+              # common case: nobody crossed again -> skip the MXU work
+              pl.when(jnp.any(active))(deposit)
 
-        upd = lambda o, n: jnp.where(active, n, o)
-        dpx = upd(dpx, dpx - sdx)
-        dpy = upd(dpy, dpy - sdy)
-        dpz = upd(dpz, dpz - sdz)
-        px = upd(px, px + sdx + sdx)
-        py = upd(py, py + sdy + sdy)
-        pz = upd(pz, pz + sdz + sdz)
+          upd = lambda o, n: jnp.where(active, n, o)
+          dpx = upd(dpx, dpx - sdx)
+          dpy = upd(dpy, dpy - sdy)
+          dpz = upd(dpz, dpz - sdz)
+          px = upd(px, px + sdx + sdx)
+          py = upd(py, py + sdy + sdy)
+          pz = upd(pz, pz + sdz + sdz)
 
-        ended = axis == 3
-        crossing = active & ~ended
-        active = crossing
+          ended = axis == 3
+          crossing = active & ~ended
+          active = crossing
 
-        for ax, (pp, dd) in enumerate(((px, dirx), (py, diry), (pz, dirz))):
-            m = crossing & (axis == ax)
-            pn = jnp.where(m, dd, pp)
-            if ax == 0:
-                px = pn
-            elif ax == 1:
-                py = pn
-            else:
-                pz = pn
+          for ax, (pp, dd) in enumerate(((px, dirx), (py, diry), (pz, dirz))):
+              m = crossing & (axis == ax)
+              pn = jnp.where(m, dd, pp)
+              if ax == 0:
+                  px = pn
+              elif ax == 1:
+                  py = pn
+              else:
+                  pz = pn
 
-        # Face handling (all in-kernel; no mid-walk freezes):
-        #  x periodic: crossers walk into the ghost column; leaving the ghost
-        #    layer re-maps to the canonical column (a +-nx linear jump --
-        #    inside the window, GUARD covers it).
-        #  y periodic (nz == 1): the walk continues UNWRAPPED -- yi beyond
-        #    [0, NY) indexes the y-image column ranges that occupy the
-        #    otherwise-unused z=0 / z=2 plane thirds of the table and
-        #    accumulator (fold_ghost_acc_T folds them back).
-        #  z (nz == 1) periodic: ghost cell IS the real cell, wrap in place.
-        #  Reflecting faces bounce in place.
-        BIG_LIM = 1 << 29
-        for ax in range(3):
-            m = crossing & (axis == ax)
-            n_ax = (g.nx, g.ny, g.nz)[ax]
-            coord = (xi, yi)[ax] if ax < 2 else jnp.ones_like(xi)
-            d = (dirx, diry, dirz)[ax]
-            newc = coord + jnp.where(d > 0, 1, -1)
-            lo_bc = _eff_bc(g, ax, -1)
-            hi_bc = _eff_bc(g, ax, 1)
-            if ax == 1:
-                # unwrapped y: periodic sides have no limit at all
-                lo_lim = -BIG_LIM if lo_bc == P_PERIODIC else 1
-                hi_lim = BIG_LIM if hi_bc == P_PERIODIC else n_ax
-            else:
-                lo_lim = 0 if lo_bc == P_PERIODIC else 1
-                hi_lim = n_ax + 1 if hi_bc == P_PERIODIC else n_ax
-            out_lo = m & (newc < lo_lim)
-            out_hi = m & (newc > hi_lim)
-            inside = m & ~out_lo & ~out_hi
-            coord = jnp.where(inside, newc, coord)
-            flip = inside
-            for side, om in ((-1, out_lo), (1, out_hi)):
-                bc = _eff_bc(g, ax, side)
-                if bc == P_PERIODIC:
-                    # reachable only for ax == 0 (x ghost-layer exit):
-                    # re-map to the canonical column and keep walking
-                    coord = jnp.where(om, newc + (n_ax if side < 0
-                                                  else -n_ax), coord)
-                    flip = flip | om
-                elif bc == REFLECT_PARTICLES:
-                    if ax == 0:
-                        ux = jnp.where(om, -ux, ux)
-                        dpx = jnp.where(om, -dpx, dpx)
-                    elif ax == 1:
-                        uy = jnp.where(om, -uy, uy)
-                        dpy = jnp.where(om, -dpy, dpy)
-                    else:
-                        uz = jnp.where(om, -uz, uz)
-                        dpz = jnp.where(om, -dpz, dpz)
-                else:
-                    # wall face (absorb/custom): unreachable modulo the
-                    # pre-flag's ULP margin -- park the lane at the face;
-                    # the pre-flag catches it next step and the outlier
-                    # pass applies the real BC then
-                    if ax == 0:
-                        dpx = jnp.where(om, 0.0, dpx)
-                    elif ax == 1:
-                        dpy = jnp.where(om, 0.0, dpy)
-                    else:
-                        dpz = jnp.where(om, 0.0, dpz)
-            if ax == 0:
-                xi = coord
-                px = jnp.where(flip, -px, px)
-            elif ax == 1:
-                yi = coord
-                py = jnp.where(flip, -py, py)
-            else:
-                pz = jnp.where(flip, -pz, pz)
+          # Face handling (all in-kernel; no mid-walk freezes):
+          #  x periodic: crossers walk into the ghost column; leaving the ghost
+          #    layer re-maps to the canonical column (a +-nx linear jump --
+          #    inside the window, GUARD covers it).
+          #  y periodic (nz == 1): the walk continues UNWRAPPED -- yi beyond
+          #    [0, NY) indexes the y-image column ranges that occupy the
+          #    otherwise-unused z=0 / z=2 plane thirds of the table and
+          #    accumulator (fold_ghost_acc_T folds them back).
+          #  z (nz == 1) periodic: ghost cell IS the real cell, wrap in place.
+          #  Reflecting faces bounce in place.
+          BIG_LIM = 1 << 29
+          for ax in range(3):
+              m = crossing & (axis == ax)
+              n_ax = (g.nx, g.ny, g.nz)[ax]
+              coord = (xi, yi)[ax] if ax < 2 else jnp.ones_like(xi)
+              d = (dirx, diry, dirz)[ax]
+              newc = coord + jnp.where(d > 0, 1, -1)
+              lo_bc = _eff_bc(g, ax, -1)
+              hi_bc = _eff_bc(g, ax, 1)
+              if ax == 1:
+                  # unwrapped y: periodic sides have no limit at all
+                  lo_lim = -BIG_LIM if lo_bc == P_PERIODIC else 1
+                  hi_lim = BIG_LIM if hi_bc == P_PERIODIC else n_ax
+              else:
+                  lo_lim = 0 if lo_bc == P_PERIODIC else 1
+                  hi_lim = n_ax + 1 if hi_bc == P_PERIODIC else n_ax
+              out_lo = m & (newc < lo_lim)
+              out_hi = m & (newc > hi_lim)
+              inside = m & ~out_lo & ~out_hi
+              coord = jnp.where(inside, newc, coord)
+              flip = inside
+              for side, om in ((-1, out_lo), (1, out_hi)):
+                  bc = _eff_bc(g, ax, side)
+                  if bc == P_PERIODIC:
+                      # reachable only for ax == 0 (x ghost-layer exit):
+                      # re-map to the canonical column and keep walking
+                      coord = jnp.where(om, newc + (n_ax if side < 0
+                                                    else -n_ax), coord)
+                      flip = flip | om
+                  elif bc == REFLECT_PARTICLES:
+                      if ax == 0:
+                          ux = jnp.where(om, -ux, ux)
+                          dpx = jnp.where(om, -dpx, dpx)
+                      elif ax == 1:
+                          uy = jnp.where(om, -uy, uy)
+                          dpy = jnp.where(om, -dpy, dpy)
+                      else:
+                          uz = jnp.where(om, -uz, uz)
+                          dpz = jnp.where(om, -dpz, dpz)
+                  else:
+                      # wall face (absorb/custom): unreachable modulo the
+                      # pre-flag's ULP margin -- park the lane at the face;
+                      # the pre-flag catches it next step and the outlier
+                      # pass applies the real BC then
+                      if ax == 0:
+                          dpx = jnp.where(om, 0.0, dpx)
+                      elif ax == 1:
+                          dpy = jnp.where(om, 0.0, dpy)
+                      else:
+                          dpz = jnp.where(om, 0.0, dpz)
+              if ax == 0:
+                  xi = coord
+                  px = jnp.where(flip, -px, px)
+              elif ax == 1:
+                  yi = coord
+                  py = jnp.where(flip, -py, py)
+              else:
+                  pz = jnp.where(flip, -pz, pz)
+
+      if not resident:
+          adma_out = pltpu.make_async_copy(acc_scratch,
+                                           acc_ref.at[pl.ds(s16, 16 * H), :],
+                                           acc_sem)
+          adma_out.start()
+          adma_out.wait()
+
+      odx_ref[:] = jnp.where(safe, px, dx)
+      ody_ref[:] = jnp.where(safe, py, dy)
+      odz_ref[:] = jnp.where(safe, pz, dz)
+      ovox_ref[:] = jnp.where(safe, xi + g.NX * (yi + g.NY * 1), vox)
+      oux_ref[:] = jnp.where(safe, ux, ux_ref[:])
+      ouy_ref[:] = jnp.where(safe, uy, uy_ref[:])
+      ouz_ref[:] = jnp.where(safe, uz, uz_ref[:])
+      oflag_ref[:] = jnp.where(entry_flag, 1, 0)
 
     if resident:
         @pl.when(b == pl.num_programs(0) - 1)
@@ -591,21 +640,6 @@ def _kernel(g: Grid, qsp, msp, max_streak, P, V, nvp, resident, ablate,
             adma_out = pltpu.make_async_copy(acc_scratch, acc_ref, acc_sem)
             adma_out.start()
             adma_out.wait()
-    else:
-        adma_out = pltpu.make_async_copy(acc_scratch,
-                                         acc_ref.at[pl.ds(s16, 16 * H), :],
-                                         acc_sem)
-        adma_out.start()
-        adma_out.wait()
-
-    odx_ref[:] = jnp.where(safe, px, dx)
-    ody_ref[:] = jnp.where(safe, py, dy)
-    odz_ref[:] = jnp.where(safe, pz, dz)
-    ovox_ref[:] = jnp.where(safe, xi + g.NX * (yi + g.NY * 1), vox)
-    oux_ref[:] = jnp.where(safe, ux, ux_ref[:])
-    ouy_ref[:] = jnp.where(safe, uy, uy_ref[:])
-    ouz_ref[:] = jnp.where(safe, uz, uz_ref[:])
-    oflag_ref[:] = jnp.where(entry_flag, 1, 0)
 
 
 def vmem_plan(nvp: int, window: int,
@@ -688,14 +722,14 @@ def _run(sp: SpeciesState, fcoef_T, acc_T, g: Grid, qsp, msp,
         nvh * 16, 128)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=1,
+        num_scalar_prefetch=2,
         grid=(nblocks,),
-        in_specs=[pl.BlockSpec((block,), lambda b, w0: (b,))] * 9
+        in_specs=[pl.BlockSpec((block,), lambda b, w0, nl: (b,))] * 9
         + [pl.BlockSpec(memory_space=pltpu.ANY),
            pl.BlockSpec(memory_space=pltpu.ANY)],
-        out_specs=[pl.BlockSpec((block,), lambda b, w0: (b,))] * 8
+        out_specs=[pl.BlockSpec((block,), lambda b, w0, nl: (b,))] * 8
         + [pl.BlockSpec(memory_space=pltpu.ANY),
-           pl.BlockSpec((1, 1), lambda b, w0: (0, 0),
+           pl.BlockSpec((1, 1), lambda b, w0, nl: (0, 0),
                         memory_space=pltpu.SMEM)],
         scratch_shapes=[pltpu.SemaphoreType.DMA, pltpu.SemaphoreType.DMA,
                         pltpu.VMEM((nvh * 24 if resident else 24 * H, 128),
@@ -712,16 +746,19 @@ def _run(sp: SpeciesState, fcoef_T, acc_T, g: Grid, qsp, msp,
                   + [jax.ShapeDtypeStruct((Np,), jnp.int32)]
                   + [jax.ShapeDtypeStruct((nvh * 16, 128), jnp.float32),
                      jax.ShapeDtypeStruct((1, 1), jnp.int32)])
+    if ablate & 32:   # measure _run's XLA prep alone (dev: scripts/ablate_push)
+        return (sp.replace(dx=dx[:N] + w0[0] * 0.0), acc_T,
+                jnp.zeros((N,), jnp.int32), jnp.int32(0))
     interpret = jax.devices()[0].platform != "tpu"
     outs = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
         out_shape=out_shapes,
         interpret=interpret,
-        input_output_aliases={11: 8},    # acc carry-in aliases acc out
+        input_output_aliases={12: 8},    # acc carry-in aliases acc out
         compiler_params=None if interpret else pltpu.CompilerParams(
             dimension_semantics=("arbitrary",)),
-    )(w0, dx, dy, dz, vox, ux, uy, uz, w, live, tabF, accF)
+    )(w0, nlive, dx, dy, dz, vox, ux, uy, uz, w, live, tabF, accF)
 
     (odx, ody, odz, ovox, oux, ouy, ouz, oflag, accF_out, oow) = outs
     acc_out = accF_out.reshape(nvh, 16, 128).transpose(1, 0, 2).reshape(

@@ -119,13 +119,19 @@ def invert_perm(dest):
         jax.lax.iota(jnp.int32, dest.shape[0]))
 
 
-def gather_rows(src, *arrays):
+def gather_rows(src, *arrays, pack: int = 1):
     """Permute same-length 1-d arrays by per-OUTPUT-slot source index in ONE
     packed row gather.  On this chip gathers/scatters pay a per-row cost, so
     a single (N, k) row gather is ~k times cheaper than k column moves, and
     a row gather is ~16x cheaper than the equivalent row scatter -- movers
     should always be expressed as gather-by-inverse-permutation.  int/bool
-    columns ride as bitcast/encoded f32 (exact round-trip)."""
+    columns ride as bitcast/encoded f32 (exact round-trip).
+
+    ``pack`` > 1 moves groups of ``pack`` consecutive lanes as ONE row
+    (src indexes groups): the per-row cost amortizes over the group, so a
+    pack-4 permutation runs ~4x faster than per-lane.  Callers must accept
+    group-granular placement (the fused-push sort does: blocks only need
+    window locality, not exact order)."""
     cols, kinds = [], []
     for a in arrays:
         if a.dtype == jnp.bool_:
@@ -138,13 +144,19 @@ def gather_rows(src, *arrays):
         else:
             cols.append(a)
             kinds.append("f")
-    moved = jnp.take(jnp.stack(cols, axis=1), src, axis=0)
+    mat = jnp.stack(cols, axis=1)
+    N, k = mat.shape
+    if pack > 1:
+        mat = mat.reshape(N // pack, pack * k)
+    moved = jnp.take(mat, src, axis=0)
+    if pack > 1:
+        moved = moved.reshape(N, k)
     out = []
-    for k, c in zip(kinds, range(len(cols))):
+    for kind, c in zip(kinds, range(len(cols))):
         col = moved[:, c]
-        if k == "b":
+        if kind == "b":
             out.append(col > 0.5)
-        elif k == "i":
+        elif kind == "i":
             out.append(jax.lax.bitcast_convert_type(col, jnp.int32))
         else:
             out.append(col)
