@@ -720,24 +720,34 @@ class Simulation:
                     rng, bkey, ekey = jax.random.split(
                         jax.random.fold_in(rng, step), 3)
                 pends, disps = [], []
-                for k, spp in enumerate(sp_params):
-                    if fused3:
+                oflags = [None] * len(sp_params)
+                if fused3:
+                    for k, spp in enumerate(sp_params):
                         sp = jax.lax.cond(
                             step % sortK == 0,
                             lambda s: PP3.brick_sort_p(s, g),
                             lambda s: s, species[k])
-                        sp, acc_T, oflag, _ = PP3.fused_push3d(
+                        sp, acc_T, oflags[k], _ = PP3.fused_push3d(
                             sp, tab_chart, acc_T, g, spp.q, spp.m,
                             max_streak=self.max_streak)
-                    else:
-                        sp = jax.lax.cond(
+                        species[k] = sp
+                else:
+                    for k in range(len(sp_params)):
+                        species[k] = jax.lax.cond(
                             step % sortK == 0,
                             lambda s: PP.bucket_sort_p(
                                 PP.remap_ghost_voxels(s, g), g, pack=1),
                             lambda s: s, species[k])
-                        sp, acc_T, oflag, _ = PP.fused_push(
-                            sp, fcoef_T, acc_T, g, spp.q, spp.m,
-                            max_streak=self.max_streak, window=window)
+                    # ALL species through one kernel launch (species-pure
+                    # blocks carry their own q/m via scalar prefetch):
+                    # halves the call-fixed table-DMA + prep cost
+                    species, acc_T, oflags, _ = PP.fused_push_multi(
+                        species, fcoef_T, acc_T, g,
+                        [(spp.q, spp.m) for spp in sp_params],
+                        max_streak=self.max_streak, window=window)
+                    species = list(species)
+                for k, spp in enumerate(sp_params):
+                    sp, oflag = species[k], oflags[k]
                     # outlier lanes (stale sort / wall crossers) are rare;
                     # self-gates on a lax.cond
                     okey = (jax.random.fold_in(bkey, k)

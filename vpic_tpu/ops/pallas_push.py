@@ -238,26 +238,37 @@ def bucket_sort_p(sp: SpeciesState, g: Grid, bucket: int = BUCKET,
     b = jnp.where(sp.live, sp.i // bucket, nb)
     if pack > 1:
         b = jnp.min(b.reshape(N // pack, pack), axis=1)
-    dest = _sort_dest(b, nb, N // pack)
+    # Per-output-slot SOURCE index from ONE stable key-value sort: measured
+    # 2x cheaper than counting-sort destinations + inverse-permutation
+    # scatter (2.27 vs 3.37 ms at 196k lanes -- scatters are latency-bound
+    # on this chip) and bit-identical (both stable by the same key).
+    src = jax.lax.sort(
+        (b, jax.lax.iota(jnp.int32, N // pack)), num_keys=1,
+        is_stable=True)[1]
 
-    # Move rows with a GATHER by the inverse permutation: on this chip a
-    # row gather runs ~16x faster than the equivalent row scatter (80 ms ->
-    # 5+5 ms at 786k rows), so invert dest with a cheap 1-column scatter.
-    from .push import gather_rows, invert_perm
+    # Move rows with a GATHER by the per-slot source: on this chip a row
+    # gather runs ~16x faster than the equivalent row scatter (80 ms ->
+    # 5+5 ms at 786k rows), so movers must always be gathers.
+    from .push import gather_rows
     dx, dy, dz, ux, uy, uz, w, i, live = gather_rows(
-        invert_perm(dest), sp.dx, sp.dy, sp.dz, sp.ux, sp.uy, sp.uz,
+        src, sp.dx, sp.dy, sp.dz, sp.ux, sp.uy, sp.uz,
         sp.w, sp.i, sp.live, pack=pack)
     return sp.replace(dx=dx, dy=dy, dz=dz, ux=ux, uy=uy, uz=uz, w=w,
                       i=i, live=live)
 
 
-def _kernel(g: Grid, qsp, msp, max_streak, P, V, nvp, resident, ablate,
+def _kernel(g: Grid, max_streak, P, V, nvp, resident, ablate,
             w0_ref,  # scalar prefetch: (nblocks,) window starts (int32)
             nl_ref,  # scalar prefetch: (nblocks,) live-lane counts (int32)
-            dx_ref, dy_ref, dz_ref, vox_ref, ux_ref, uy_ref, uz_ref,
-            w_ref, live_ref, tab_ref, acc_in_ref,
-            odx_ref, ody_ref, odz_ref, ovox_ref, oux_ref, ouy_ref,
-            ouz_ref, oflag_ref,
+            qd2_ref,  # scalar prefetch: (nblocks,) per-block qdt_2mc (f32)
+            qsp_ref,  # scalar prefetch: (nblocks,) per-block charge (f32)
+            pk_ref,   # (9, P) packed lane state: dx dy dz vox* ux uy uz w
+                      # live (vox bitcast int32->f32, live as 0.0/1.0);
+                      # ONE buffer instead of 9 so the per-block pipeline
+                      # issues 2 DMAs, not 17 -- fixed DMA-issue latency,
+                      # not bandwidth, set the old per-block floor
+            tab_ref, acc_in_ref,
+            opk_ref,  # (8, P) packed outputs: dx dy dz vox* ux uy uz flag
             acc_ref, oow_ref, tab_sem, acc_sem, tab_scratch, acc_scratch):
     # FACTORIZED one-hot scheme: a window voxel v - w0 = h*128 + l splits
     # into digits, and onehot(v) = onehot_hi(h) (x) onehot_lo(l).  Gather
@@ -275,7 +286,13 @@ def _kernel(g: Grid, qsp, msp, max_streak, P, V, nvp, resident, ablate,
     s24 = pl.multiple_of((w0 // 128) * 24, 8)
     s16 = pl.multiple_of((w0 // 128) * 16, 8)
 
-    qdt_2mc = (qsp * g.dt) / (2.0 * msp * g.cvac)
+    # Per-block species scalars (blocks are species-pure: the caller pads
+    # each species to a block multiple before concatenating) -- this is
+    # what lets ALL species ride ONE kernel launch, sharing the table
+    # DMA/residency and the per-call prep instead of paying them per
+    # species.
+    qdt_2mc = qd2_ref[b]
+    qsp = qsp_ref[b]
     cdt_dx = g.cvac * g.dt * g.rdx
     cdt_dy = g.cvac * g.dt * g.rdy
     cdt_dz = g.cvac * g.dt * g.rdz
@@ -307,14 +324,8 @@ def _kernel(g: Grid, qsp, msp, max_streak, P, V, nvp, resident, ablate,
 
     @pl.when(nl == 0)
     def _passthrough():
-        odx_ref[:] = dx_ref[:]
-        ody_ref[:] = dy_ref[:]
-        odz_ref[:] = dz_ref[:]
-        ovox_ref[:] = vox_ref[:]
-        oux_ref[:] = ux_ref[:]
-        ouy_ref[:] = uy_ref[:]
-        ouz_ref[:] = uz_ref[:]
-        oflag_ref[:] = jnp.zeros((P,), jnp.int32)
+        opk_ref[0:7, :] = pk_ref[0:7, :]
+        opk_ref[7, :] = jnp.zeros((P,), jnp.float32)
 
     @pl.when(nl > 0)
     def _live_body():
@@ -332,15 +343,15 @@ def _kernel(g: Grid, qsp, msp, max_streak, P, V, nvp, resident, ablate,
         adma_in.start()
         tdma.wait()
 
-      dx = dx_ref[:]
-      dy = dy_ref[:]
-      dz = dz_ref[:]
-      vox = vox_ref[:]
-      ux = ux_ref[:]
-      uy = uy_ref[:]
-      uz = uz_ref[:]
-      w = w_ref[:]
-      live = live_ref[:] > 0
+      dx = pk_ref[0, :]
+      dy = pk_ref[1, :]
+      dz = pk_ref[2, :]
+      vox = pk_ref[3, :].astype(jnp.int32)   # value-encoded (< 2^24)
+      ux = pk_ref[4, :]
+      uy = pk_ref[5, :]
+      uz = pk_ref[6, :]
+      w = pk_ref[7, :]
+      live = pk_ref[8, :] > 0.5
 
       lane_r = jax.lax.broadcasted_iota(jnp.int32, (P, 128), 1)
       iota_h = jax.lax.broadcasted_iota(jnp.int32, (H, P), 0)
@@ -625,14 +636,15 @@ def _kernel(g: Grid, qsp, msp, max_streak, P, V, nvp, resident, ablate,
           adma_out.start()
           adma_out.wait()
 
-      odx_ref[:] = jnp.where(safe, px, dx)
-      ody_ref[:] = jnp.where(safe, py, dy)
-      odz_ref[:] = jnp.where(safe, pz, dz)
-      ovox_ref[:] = jnp.where(safe, xi + g.NX * (yi + g.NY * 1), vox)
-      oux_ref[:] = jnp.where(safe, ux, ux_ref[:])
-      ouy_ref[:] = jnp.where(safe, uy, uy_ref[:])
-      ouz_ref[:] = jnp.where(safe, uz, uz_ref[:])
-      oflag_ref[:] = jnp.where(entry_flag, 1, 0)
+      vox_new = jnp.where(safe, xi + g.NX * (yi + g.NY * 1), vox)
+      opk_ref[0, :] = jnp.where(safe, px, dx)
+      opk_ref[1, :] = jnp.where(safe, py, dy)
+      opk_ref[2, :] = jnp.where(safe, pz, dz)
+      opk_ref[3, :] = vox_new.astype(jnp.float32)
+      opk_ref[4, :] = jnp.where(safe, ux, pk_ref[4, :])
+      opk_ref[5, :] = jnp.where(safe, uy, pk_ref[5, :])
+      opk_ref[6, :] = jnp.where(safe, uz, pk_ref[6, :])
+      opk_ref[7, :] = jnp.where(entry_flag, 1.0, 0.0)
 
     if resident:
         @pl.when(b == pl.num_programs(0) - 1)
@@ -676,40 +688,72 @@ def vmem_plan(nvp: int, window: int,
     return 1024, False, 256
 
 
-@functools.partial(jax.jit, static_argnames=("g", "qsp", "msp", "max_streak",
-                                             "block", "window", "ablate"))
-def _run(sp: SpeciesState, fcoef_T, acc_T, g: Grid, qsp, msp,
+@functools.partial(jax.jit, static_argnames=("g", "qsps", "msps",
+                                             "max_streak", "block", "window",
+                                             "ablate"))
+def _run(sps, fcoef_T, acc_T, g: Grid, qsps, msps,
          max_streak=4, block=0, window=DEF_WINDOW, ablate=0):
-    N = sp.capacity
+    """All species through ONE kernel launch: each species is padded to a
+    block multiple and the segments concatenated, so every block is
+    species-pure and carries its own (qdt_2mc, q) via scalar prefetch.
+    Sharing one launch amortizes the call-fixed costs (table residency
+    DMA, prep/post relayouts, Mosaic dispatch) across species -- the
+    per-species launch was ~half fixed cost at 64^2x64ppc."""
+    sps = tuple(sps)
     nvp = fcoef_T.shape[1]
     window = min(window, nvp)
     auto_block, resident, window = vmem_plan(nvp, window)
     block = block or auto_block
-    Np = _round_up(N, block)
-    nblocks = Np // block
 
-    def pad(a, fill=0):
-        return jnp.pad(a, (0, Np - N), constant_values=fill)
+    cols = {k: [] for k in ("dx", "dy", "dz", "vox", "ux", "uy", "uz",
+                            "w", "live")}
+    w0s, nls, qd2s, qws, Nps = [], [], [], [], []
+    for sp, qsp, msp in zip(sps, qsps, msps):
+        N = sp.capacity
+        Np = _round_up(N, block)
+        Nps.append(Np)
+        nb = Np // block
+        pad = lambda a: jnp.pad(a, (0, Np - N))
+        vox = pad(sp.i)
+        live = pad(sp.live.astype(jnp.int32))
+        cols["dx"].append(pad(sp.dx))
+        cols["dy"].append(pad(sp.dy))
+        cols["dz"].append(pad(sp.dz))
+        cols["vox"].append(vox.astype(jnp.float32))
+        cols["ux"].append(pad(sp.ux))
+        cols["uy"].append(pad(sp.uy))
+        cols["uz"].append(pad(sp.uz))
+        cols["w"].append(pad(sp.w))
+        cols["live"].append(live.astype(jnp.float32))
 
-    dx, dy, dz = pad(sp.dx), pad(sp.dy), pad(sp.dz)
-    vox = pad(sp.i)
-    ux, uy, uz, w = pad(sp.ux), pad(sp.uy), pad(sp.uz), pad(sp.w)
-    live = pad(sp.live.astype(jnp.int32))
+        # Window starts: centered between the block's 12.5th and 87.5th
+        # percentile voxels over LIVE lanes (slot order approximates voxel
+        # order under the bucket sort; percentile-midpoint centering covers
+        # a block whose bulk spans several buckets, which a middle-slot
+        # anchor clips on one side -- that asymmetry was flagging ~50 drift
+        # outliers per step at 64^2 and paying a ~3 ms outlier pass).  Live
+        # lanes sort before dead within a block, so percentiles index the
+        # live prefix.
+        vb = vox.reshape(nb, block)
+        nlive = jnp.sum(live.reshape(nb, block), axis=1)
+        take = lambda idx: jnp.take_along_axis(vb, idx[:, None], 1)[:, 0]
+        lo = take(jnp.clip(nlive // 8, 0, block - 1))
+        hi = take(jnp.clip((7 * nlive) // 8, 0, block - 1))
+        mid = (lo + hi) // 2
+        w0s.append(jnp.clip((mid // 128) * 128 - window // 2,
+                            0, nvp - window))
+        nls.append(nlive)
+        qd2s.append(jnp.full((nb,), (qsp * g.dt) / (2.0 * msp * g.cvac),
+                             jnp.float32))
+        qws.append(jnp.full((nb,), qsp, jnp.float32))
 
-    # Window starts: centered between the block's 12.5th and 87.5th
-    # percentile voxels over LIVE lanes (slot order approximates voxel
-    # order under the bucket sort; percentile-midpoint centering covers a
-    # block whose bulk spans several buckets, which a middle-slot anchor
-    # clips on one side -- that asymmetry was flagging ~50 drift outliers
-    # per step at 64^2 and paying a ~3 ms outlier pass).  Live lanes sort
-    # before dead within a block, so percentiles index the live prefix.
-    vb = vox.reshape(nblocks, block)
-    nlive = jnp.sum(live.reshape(nblocks, block), axis=1)
-    take = lambda idx: jnp.take_along_axis(vb, idx[:, None], 1)[:, 0]
-    lo = take(jnp.clip(nlive // 8, 0, block - 1))
-    hi = take(jnp.clip((7 * nlive) // 8, 0, block - 1))
-    mid = (lo + hi) // 2
-    w0 = jnp.clip((mid // 128) * 128 - window // 2, 0, nvp - window)
+    cat = lambda xs: xs[0] if len(xs) == 1 else jnp.concatenate(xs)
+    order = ("dx", "dy", "dz", "vox", "ux", "uy", "uz", "w", "live")
+    pk = jnp.stack([cat(cols[k]) for k in order])       # (9, Ntot) f32
+    w0, nlive = cat(w0s), cat(nls)
+    qd2, qw = cat(qd2s), cat(qws)
+    Ntot = sum(Nps)
+    nblocks = Ntot // block
 
     # h-major row layouts for the factorized kernel: tabF[hg*24+r, l] and
     # accF[hg*16+r, l] with v = hg*128 + l (one XLA transpose each way;
@@ -722,14 +766,14 @@ def _run(sp: SpeciesState, fcoef_T, acc_T, g: Grid, qsp, msp,
         nvh * 16, 128)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=2,
+        num_scalar_prefetch=4,
         grid=(nblocks,),
-        in_specs=[pl.BlockSpec((block,), lambda b, w0, nl: (b,))] * 9
+        in_specs=[pl.BlockSpec((9, block), lambda b, *_: (0, b))]
         + [pl.BlockSpec(memory_space=pltpu.ANY),
            pl.BlockSpec(memory_space=pltpu.ANY)],
-        out_specs=[pl.BlockSpec((block,), lambda b, w0, nl: (b,))] * 8
+        out_specs=[pl.BlockSpec((8, block), lambda b, *_: (0, b))]
         + [pl.BlockSpec(memory_space=pltpu.ANY),
-           pl.BlockSpec((1, 1), lambda b, w0, nl: (0, 0),
+           pl.BlockSpec((1, 1), lambda b, *_: (0, 0),
                         memory_space=pltpu.SMEM)],
         scratch_shapes=[pltpu.SemaphoreType.DMA, pltpu.SemaphoreType.DMA,
                         pltpu.VMEM((nvh * 24 if resident else 24 * H, 128),
@@ -738,35 +782,42 @@ def _run(sp: SpeciesState, fcoef_T, acc_T, g: Grid, qsp, msp,
                                    jnp.float32)],
     )
 
-    kernel = functools.partial(_kernel, g, qsp, msp, max_streak, block,
+    kernel = functools.partial(_kernel, g, max_streak, block,
                                window, nvp, resident, ablate)
-    out_shapes = ([jax.ShapeDtypeStruct((Np,), jnp.float32)] * 3
-                  + [jax.ShapeDtypeStruct((Np,), jnp.int32)]
-                  + [jax.ShapeDtypeStruct((Np,), jnp.float32)] * 3
-                  + [jax.ShapeDtypeStruct((Np,), jnp.int32)]
-                  + [jax.ShapeDtypeStruct((nvh * 16, 128), jnp.float32),
-                     jax.ShapeDtypeStruct((1, 1), jnp.int32)])
+    out_shapes = [jax.ShapeDtypeStruct((8, Ntot), jnp.float32),
+                  jax.ShapeDtypeStruct((nvh * 16, 128), jnp.float32),
+                  jax.ShapeDtypeStruct((1, 1), jnp.int32)]
     if ablate & 32:   # measure _run's XLA prep alone (dev: scripts/ablate_push)
-        return (sp.replace(dx=dx[:N] + w0[0] * 0.0), acc_T,
-                jnp.zeros((N,), jnp.int32), jnp.int32(0))
+        return ([sp.replace(dx=sp.dx + w0[0] * 0.0 + pk[0, 0] * 0.0)
+                 for sp in sps], acc_T,
+                [jnp.zeros((sp.capacity,), jnp.int32) for sp in sps],
+                jnp.int32(0))
     interpret = jax.devices()[0].platform != "tpu"
     outs = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
         out_shape=out_shapes,
         interpret=interpret,
-        input_output_aliases={12: 8},    # acc carry-in aliases acc out
+        input_output_aliases={6: 1},     # acc carry-in aliases acc out
         compiler_params=None if interpret else pltpu.CompilerParams(
             dimension_semantics=("arbitrary",)),
-    )(w0, nlive, dx, dy, dz, vox, ux, uy, uz, w, live, tabF, accF)
+    )(w0, nlive, qd2, qw, pk, tabF, accF)
 
-    (odx, ody, odz, ovox, oux, ouy, ouz, oflag, accF_out, oow) = outs
+    (opk, accF_out, oow) = outs
     acc_out = accF_out.reshape(nvh, 16, 128).transpose(1, 0, 2).reshape(
         16, nvp)
-    new_sp = sp.replace(dx=odx[:N], dy=ody[:N], dz=odz[:N],
-                        i=jnp.where(sp.live, ovox[:N], sp.i),
-                        ux=oux[:N], uy=ouy[:N], uz=ouz[:N])
-    return new_sp, acc_out, oflag[:N], oow[0, 0]
+    ovox_all = opk[3].astype(jnp.int32)
+    new_sps, oflags, off = [], [], 0
+    for sp, Np in zip(sps, Nps):
+        N = sp.capacity
+        sl = slice(off, off + N)
+        new_sps.append(sp.replace(
+            dx=opk[0, sl], dy=opk[1, sl], dz=opk[2, sl],
+            i=jnp.where(sp.live, ovox_all[sl], sp.i),
+            ux=opk[4, sl], uy=opk[5, sl], uz=opk[6, sl]))
+        oflags.append((opk[7, sl] > 0.5).astype(jnp.int32))
+        off += Np
+    return new_sps, acc_out, oflags, oow[0, 0]
 
 
 def _y_unwrapped(g: Grid) -> bool:
@@ -904,7 +955,7 @@ def outlier_pass(sp: SpeciesState, oflag, fcoef_T, g: Grid,
         small = remap(small)
         rows = fcoef_T[:, small.i].T                   # (cap, 18)
         res = advance_p(small, None, g, qsp, msp, acc_small, rhob_flat,
-                        max_streak=max_streak, rows=rows)
+                        max_streak=max_streak, rows=rows, unroll=True)
         s2, acc2, rhob2 = res.species, res.acc, res.rhob_flat
         tgt = jnp.where(valid, idx, N)
         if return_pends:
@@ -958,7 +1009,21 @@ def fused_push(sp: SpeciesState, fcoef_T, acc_T, g: Grid, qsp: float,
     fold_ghost_acc_T folds their deposits); callers remap_ghost_voxels
     before sorting / external consumption.
     Returns (species, acc_T, outlier_flags, oow)."""
-    return _run(sp, fcoef_T, acc_T, g, float(qsp), float(msp),
+    sps, acc_T, oflags, oow = _run(
+        (sp,), fcoef_T, acc_T, g, (float(qsp),), (float(msp),),
+        max_streak, block, window, ablate)
+    return sps[0], acc_T, oflags[0], oow
+
+
+def fused_push_multi(sps, fcoef_T, acc_T, g: Grid, qms,
+                     max_streak: int = 4, block: int = 0,
+                     window: int = DEF_WINDOW, ablate: int = 0):
+    """All species through ONE fused kernel launch (see _run).  ``qms`` is
+    a sequence of (charge, mass) per species.  Returns
+    (list_of_species, acc_T, list_of_outlier_flags, oow)."""
+    return _run(tuple(sps), fcoef_T, acc_T, g,
+                tuple(float(q) for q, _ in qms),
+                tuple(float(m) for _, m in qms),
                 max_streak, block, window, ablate)
 
 

@@ -335,7 +335,7 @@ def _edge_masks(g: Grid, ax: int):
 
 
 def streak_walk(g: Grid, qsp, w, pos, disp, coords, u, active, alive,
-                pend, acc, rhob, max_streak: int):
+                pend, acc, rhob, max_streak: int, unroll: bool = False):
     """The move_p streak walk (move_p.cc:216-353) over all lanes at once.
 
     Shared by advance_p (every particle starts here; in-bounds lanes finish
@@ -502,9 +502,16 @@ def streak_walk(g: Grid, qsp, w, pos, disp, coords, u, active, alive,
         # Inside shard_map, loop carries must have consistent varying-axis
         # types; replicated-constant inits (zeros) become varying in the body.
         carry = jax.tree.map(lambda a: _ensure_varying(a, names), carry)
-    # fori_loop (not unrolled) keeps the compiled graph one-streak-body big.
-    carry = jax.lax.fori_loop(0, max_streak,
-                              lambda _, c: streak(c, None)[0], carry)
+    if unroll:
+        # Unrolled for SMALL lane counts (the fused path's outlier replay):
+        # a fori_loop forces max_streak sequential dispatch waves of tiny
+        # latency-bound kernels; unrolling lets XLA fuse across streaks.
+        for _ in range(max_streak):
+            carry = streak(carry, None)[0]
+    else:
+        # fori_loop keeps the compiled graph one-streak-body big.
+        carry = jax.lax.fori_loop(0, max_streak,
+                                  lambda _, c: streak(c, None)[0], carry)
     (px, py, pz, dpx, dpy, dpz, xi, yi, zi,
      ux, uy, uz, active, alive, pend, acc, rhob) = carry
 
@@ -516,7 +523,7 @@ def streak_walk(g: Grid, qsp, w, pos, disp, coords, u, active, alive,
 
 def advance_p(sp: SpeciesState, fcoef, g: Grid, qsp: float, msp: float,
               acc, rhob_flat, max_streak: int = 4,
-              rows=None) -> PushResult:
+              rows=None, unroll: bool = False) -> PushResult:
     """One leapfrog step for one species (see module docstring).
 
     ``acc`` is the shared (nv, 12) accumulator: contributions from every
@@ -557,7 +564,8 @@ def advance_p(sp: SpeciesState, fcoef, g: Grid, qsp: float, msp: float,
     pend0 = jnp.full((N,), DONE, jnp.int32)
     (pos, disp, coords, u, alive, pend, acc, rhob_flat) = streak_walk(
         g, qsp, sp.w, (dx, dy, dz), (dispx, dispy, dispz), (xi, yi, zi),
-        (ux, uy, uz), alive, alive, pend0, acc, rhob_flat, max_streak)
+        (ux, uy, uz), alive, alive, pend0, acc, rhob_flat, max_streak,
+        unroll=unroll)
 
     vox = coords[0] + g.NX * (coords[1] + g.NY * coords[2])
     new_sp = sp.replace(
