@@ -516,13 +516,26 @@ def _kernel(g: Grid, max_streak, P, V, nvp, resident, ablate,
               else:
                   # round 0: position == gather position, reuse its one-hots
                   oh_lo, ohhi = reuse
-              # (16H, P) h-major stack of hi-digit-selected quarter currents
-              rhsT = jnp.concatenate([vals * ohhi[h] for h in range(H)],
-                                     axis=0)
-              # terms=3: deposited current at better-than-f32 accuracy (one
-              # extra MXU pass); the gather stays terms=2 (field values are
-              # smooth, 2^-18 relative is ample there).
-              upd = _hilo_dot(rhsT, oh_lo, ((1,), (0,)), terms=3)  # (16H, 128)
+              # 3-term bf16 split of vals BEFORE the h-expansion (better-
+              # than-f32 deposit accuracy at 3 MXU passes, like terms=3),
+              # so the (16H, P) expanded tensors are built directly in
+              # bf16: the old expand-then-split shape paid ~5 f32 passes
+              # over 16H*P; this pays 3 bf16 writes (ohhi is an exact 0/1
+              # mask in either dtype).
+              v_hi = vals.astype(jnp.bfloat16)
+              r1 = vals - v_hi.astype(jnp.float32)
+              v_mid = r1.astype(jnp.bfloat16)
+              v_lo = (r1 - v_mid.astype(jnp.float32)).astype(jnp.bfloat16)
+              ohhi_b = ohhi.astype(jnp.bfloat16)
+              dot = functools.partial(
+                  jax.lax.dot_general,
+                  dimension_numbers=((((1,), (0,))), ((), ())),
+                  preferred_element_type=jnp.float32)
+              expand = lambda vt: (ohhi_b[:, None, :]
+                                   * vt[None, :, :]).reshape(16 * H, P)
+              upd = (dot(expand(v_hi), oh_lo)
+                     + dot(expand(v_mid), oh_lo)
+                     + dot(expand(v_lo), oh_lo))          # (16H, 128)
               if resident:
                   acc_scratch[pl.ds(s16, 16 * H), :] += upd
               else:
