@@ -14,10 +14,25 @@ from __future__ import annotations
 import argparse
 import importlib
 import importlib.util
+import os
 import sys
 
 
+def _apply_platform_env():
+    """Honor JAX_PLATFORMS via jax.config BEFORE any backend touch: an
+    environment that preloads a TPU plugin at interpreter start can make
+    the plain env var ineffective (backend registration hooks read it
+    early), and a wedged/absent TPU then hangs backend init even for a
+    CPU deck.  The config override is the reliable switch (see
+    tests/conftest.py)."""
+    plat = os.environ.get("JAX_PLATFORMS", "")
+    if plat and "," not in plat:
+        import jax
+        jax.config.update("jax_platforms", plat)
+
+
 def main(argv=None):
+    _apply_platform_env()
     ap = argparse.ArgumentParser(prog="python -m vpic_tpu")
     ap.add_argument("deck", help="deck .py defining build() -> Simulation, "
                     "or a built-in model name (harris, weibel, beam_plas, "

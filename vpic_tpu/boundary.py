@@ -71,7 +71,7 @@ class MigrationStats(NamedTuple):
 
 def _migrate_round(sp: SpeciesState, pend, disp, acc, rhob, g: Grid,
                    qsp: float, mig_cap: int, max_streak: int,
-                   n_dropped):
+                   n_dropped, vbc=None):
     """One communication round: pack -> ppermute -> unpack -> continue walk."""
     remote_faces = [f for f in range(6) if g.topology[FACE_AXIS[f]] > 1]
     if not remote_faces:
@@ -165,7 +165,7 @@ def _migrate_round(sp: SpeciesState, pend, disp, acc, rhob, g: Grid,
     (pos, disp, coords, u, alive, pend, acc, rhob) = streak_walk(
         g, qsp, sp.w, (sp.dx, sp.dy, sp.dz), (dpx, dpy, dpz), (xi, yi, zi),
         (sp.ux, sp.uy, sp.uz), cont & sp.live, sp.live, pend, acc, rhob,
-        max_streak)
+        max_streak, vbc=vbc)
     vox = coords[0] + g.NX * (coords[1] + g.NY * coords[2])
     sp = sp.replace(dx=pos[0], dy=pos[1], dz=pos[2], i=vox,
                     ux=u[0], uy=u[1], uz=u[2],
@@ -178,7 +178,7 @@ def boundary_p(species: Sequence[SpeciesState], sp_params, pends, disps,
                acc, rhob, g: Grid, num_comm_round: int = 3,
                mig_frac: float = 0.125, max_streak: int = 4,
                custom_handlers: Optional[Dict[int, Callable]] = None,
-               key=None, diag=None):
+               key=None, diag=None, vbc=None):
     """Process parked particles for every species: custom-BC dispatch,
     ``num_comm_round`` migration rounds, then leftover drop (+rhob).
 
@@ -220,7 +220,7 @@ def boundary_p(species: Sequence[SpeciesState], sp_params, pends, disps,
         for _ in range(num_comm_round):
             sp, pend, disp, acc, rhob, n_dropped = _migrate_round(
                 sp, pend, disp, acc, rhob, g, spp.q, mig_cap, max_streak,
-                n_dropped)
+                n_dropped, vbc=vbc)
             # Handlers may need to run again for multi-hop arrivals.
             key, sp, pend, disp, acc, rhob, diag = run_handlers(
                 key, sp, pend, disp, acc, rhob, diag, spp)

@@ -52,9 +52,12 @@ def maxwellian_reflux(ut_para: Dict[str, float], ut_perp: Dict[str, float]):
 
     def handler(key, sp, pend, disp, acc, rhob, g: Grid, spp, face,
                 diag=None):
+        # ``face`` is the registry key: 0-5 for whole-domain faces,
+        # 6 + 6*h + f for interior region surfaces (set_region_particle_bc)
+        # -- key % 6 recovers the geometric exit face either way.
         mask = pend == CUSTOM_BASE + face
-        axis = FACE_AXIS[face]
-        side = FACE_SIDE[face]
+        axis = FACE_AXIS[face % 6]
+        side = FACE_SIDE[face % 6]
         utp = float(ut_para[spp.name])
         utq = float(ut_perp[spp.name])
         k1, k2, k3 = jax.random.split(key, 3)

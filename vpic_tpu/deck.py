@@ -106,6 +106,11 @@ class Simulation:
         self.collision_ops: list = []
         self.emitters: list = []
         self.pbc_handlers: dict = {}   # face -> custom particle-BC handler
+        # per-voxel-face particle-BC overrides (grid->neighbor analogue,
+        # grid.h:116-121): (..., nv, 6) int32 codes + interior mark mask
+        self._vbc = None
+        self._vbc_mark = None
+        self._n_region_pbc = 0
         self._entropy = np.random.RandomState(seed)
         self._sync_entropy = np.random.RandomState(seed + 0x5EED)
         self._field_init: Optional[FieldState] = None
@@ -181,6 +186,88 @@ class Simulation:
             from .grid import FIRST_CUSTOM_PBC
             bc = FIRST_CUSTOM_PBC - len(self.pbc_handlers) + 1
         self.grid = self.grid.with_bc(face, pbc=bc)
+
+    def set_region_particle_bc(self, region, bc):
+        """Attach a particle BC to the SURFACE of an interior region: the
+        per-voxel neighbor-table encoding of the reference (grid.h:116-121,
+        decoded at boundary_p.cc:196-255), which lets decks hang reflux /
+        absorb / custom surfaces on interior region boundaries instead of
+        whole domain faces.  Every voxel face between a cell inside the
+        region and a cell outside it gets the code ON BOTH SIDES (exit
+        face of either cell).  ``bc`` is REFLECT_PARTICLES,
+        ABSORB_PARTICLES, or a custom handler built by
+        vpic_tpu.boundary_ops (registered under key 6 + 6*h + face and
+        dispatched by boundary_p exactly like domain-face handlers; the
+        geometric exit face is key % 6).  Rasterized per shard on
+        decomposed grids (leading topology dims, sliced via axis_index
+        inside the jitted step, like set_region_material)."""
+        from .grid import ABSORB_PARTICLES, REFLECT_PARTICLES
+        from .ops.push import CUSTOM_BASE
+        g = self.grid
+        if callable(bc):
+            h = self._n_region_pbc
+            self._n_region_pbc += 1
+            for f in range(6):
+                self.pbc_handlers[6 + 6 * h + f] = bc
+            codes = [CUSTOM_BASE + 6 + 6 * h + f for f in range(6)]
+        else:
+            if int(bc) not in (ABSORB_PARTICLES, REFLECT_PARTICLES):
+                raise ValueError("set_region_particle_bc: bc must be "
+                                 "ABSORB/REFLECT or a handler")
+            codes = [int(bc)] * 6
+
+        if self._vbc is None:
+            lead = g.topology if g.sharded else ()
+            self._vbc = np.zeros(lead + (g.NZ, g.NY, g.NX, 6), np.int32)
+            self._vbc_mark = np.zeros(lead + (g.nz, g.ny, g.nx),
+                                      np.float32)
+
+        def paint(vb, mk, sx, sy, sz):
+            xc = g.x0 + g.dx * (sx * g.nx + np.arange(g.NX) - 0.5)
+            yc = g.y0 + g.dy * (sy * g.ny + np.arange(g.NY) - 0.5)
+            zc = g.z0 + g.dz * (sz * g.nz + np.arange(g.NZ) - 0.5)
+            Z, Y, X = np.meshgrid(zc, yc, xc, indexing="ij")
+            inside = np.vectorize(region, otypes=[bool])(X, Y, Z)
+            aa = {0: 2, 1: 1, 2: 0}    # grid axis -> array axis
+            for ax in range(3):
+                a = aa[ax]
+                # neighbor in +ax: nb_hi[v] = inside[v + 1]
+                nb_hi = np.roll(inside, -1, axis=a)
+                nb_hi[(slice(None),) * a + (-1,)] = inside[
+                    (slice(None),) * a + (-1,)]
+                face_hi = inside != nb_hi        # in/out face above v
+                # exit face f = ax + 3 seen from v; f = ax seen from v+1
+                vb[..., ax + 3][face_hi] = codes[ax + 3]
+                lo_of_upper = np.roll(face_hi, 1, axis=a)
+                lo_of_upper[(slice(None),) * a + (0,)] = False
+                vb[..., ax][lo_of_upper] = codes[ax]
+            anyf = (vb != 0).any(axis=-1)
+            mk[...] = np.maximum(
+                mk, anyf[1:-1, 1:-1, 1:-1].astype(np.float32))
+
+        if not g.sharded:
+            paint(self._vbc, self._vbc_mark, 0, 0, 0)
+        else:
+            px, py, pz = g.topology
+            for sx in range(px):
+                for sy in range(py):
+                    for sz in range(pz):
+                        paint(self._vbc[sx, sy, sz],
+                              self._vbc_mark[sx, sy, sz], sx, sy, sz)
+
+    def _local_vbc(self):
+        """Shard-local (nv*6,) flat per-voxel-face BC codes (or None), plus
+        the interior (nz, ny, nx) kernel mark mask."""
+        if self._vbc is None:
+            return None, None
+        g = self.grid
+        vb = jnp.asarray(self._vbc)
+        mk = jnp.asarray(self._vbc_mark)
+        if g.sharded:
+            idx = tuple(jax.lax.axis_index(a) for a in g.mesh_axes)
+            vb = vb[idx]
+            mk = mk[idx]
+        return vb.reshape(-1), mk
 
     def define_surface_emitter(self, emitter_factory, region, sp: SpeciesParams,
                                **kw):
@@ -655,8 +742,11 @@ class Simulation:
         # routine CPU testing: auto-enable on TPU only; use_pallas=True
         # forces it anywhere (the dedicated parity tests do)
         on_tpu = jax.devices()[0].platform == "tpu"
+        # per-voxel BC surfaces: 2-D fused kernel pre-flags via the table
+        # mark row; the 3-D chart kernel doesn't carry the row yet, so
+        # such decks take the general XLA path in 3-D
         fused3 = PP3.supports3d(g, max_cap) and (
-            on_tpu or self.use_pallas is True)
+            on_tpu or self.use_pallas is True) and self._vbc is None
         fused2 = (not fused3) and PP.supports(g, max_cap)
         if self.use_pallas == "auto":
             use_fused = fused2 or fused3
@@ -676,6 +766,7 @@ class Simulation:
             step = state.step
             rng = state.rng
             m = self._local_material_coeffs(m_global)
+            vbc, vbc_mark = self._local_vbc()
             # jit-carried diagnostics (custom-BC tallies etc.); structure is
             # fixed at initialize() so it can ride a lax.scan carry
             diag = state.diag if state.diag is not None else {}
@@ -711,7 +802,8 @@ class Simulation:
                 else:
                     window = PP.pick_window(g, sortK)
                     nvp = PP.table_width(g, window)
-                    fcoef_T = I.load_interpolator_T(f, g, nvp)
+                    fcoef_T = I.load_interpolator_T(f, g, nvp,
+                                                    mark=vbc_mark)
                     acc_T = jnp.zeros((16, nvp), jnp.float32)
                 acc_small = jnp.zeros((g.nv, 12), jnp.float32)
                 bkey = ekey = None
@@ -744,7 +836,8 @@ class Simulation:
                     species, acc_T, oflags, _ = PP.fused_push_multi(
                         species, fcoef_T, acc_T, g,
                         [(spp.q, spp.m) for spp in sp_params],
-                        max_streak=self.max_streak, window=window)
+                        max_streak=self.max_streak, window=window,
+                        vbc_mark=vbc is not None)
                     species = list(species)
                 for k, spp in enumerate(sp_params):
                     sp, oflag = species[k], oflags[k]
@@ -759,7 +852,7 @@ class Simulation:
                         sp, acc_small, rhob, pend, disp = PP.outlier_pass(
                             sp, oflag, fcoef_T, g, spp.q, spp.m,
                             acc_small, rhob, self.max_streak,
-                            return_pends=True, remap_fn=remap3)
+                            return_pends=True, remap_fn=remap3, vbc=vbc)
                         pends.append(pend)
                         disps.append(disp)
                     else:
@@ -767,7 +860,7 @@ class Simulation:
                             sp, oflag, fcoef_T, g, spp.q, spp.m,
                             acc_small, rhob, self.max_streak, spp=spp,
                             custom_handlers=self.pbc_handlers, key=okey,
-                            remap_fn=remap3, diag=diag)
+                            remap_fn=remap3, diag=diag, vbc=vbc)
                     species[k] = sp
                 # --- emission / user injection (advance.cc:58-60, before
                 # boundary_p like the reference): runs on the standard-
@@ -788,7 +881,7 @@ class Simulation:
                         g, num_comm_round=self.num_comm_round,
                         max_streak=self.max_streak,
                         custom_handlers=self.pbc_handlers, key=bkey,
-                        diag=diag)
+                        diag=diag, vbc=vbc)
                 if fused3:
                     acc_T = PP3.fold_chart_acc(acc_T, g)
                 acc_T = PP.fold_ghost_acc_T(acc_T, g)
@@ -802,7 +895,8 @@ class Simulation:
                 pends, disps = [], []
                 for k, spp in enumerate(sp_params):
                     res = P.advance_p(species[k], fcoef, g, spp.q, spp.m,
-                                      acc, rhob, max_streak=self.max_streak)
+                                      acc, rhob, max_streak=self.max_streak,
+                                      vbc=vbc)
                     species[k] = res.species
                     acc = res.acc
                     rhob = res.rhob_flat
@@ -820,6 +914,7 @@ class Simulation:
                 # --- boundary interaction + cross-shard migration
                 #     (boundary_p x num_comm_round, advance.cc:73-101) ---
                 needs_boundary = (g.sharded or self.pbc_handlers or
+                                  self._vbc is not None or
                                   any(bc <= -3 for bc in g.particle_bc))
                 if needs_boundary:
                     rng, bkey = jax.random.split(
@@ -829,7 +924,7 @@ class Simulation:
                         num_comm_round=self.num_comm_round,
                         max_streak=self.max_streak,
                         custom_handlers=self.pbc_handlers, key=bkey,
-                        diag=diag)
+                        diag=diag, vbc=vbc)
 
                 f = F.clear_jf(f)
                 f = I.unload_accumulator(f, acc, g)

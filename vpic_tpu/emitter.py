@@ -78,7 +78,7 @@ def child_langmuir(sp_idx: int, spp: SpeciesParams, components,
         key = jax.random.fold_in(rng, step)
         k1, k2, k3, k4, k5, k6, rng2 = jax.random.split(key, 7)
 
-        axis = FACE_AXIS_ARR[face_c]
+        axis = _face_axis_arr()[face_c]
         side = jnp.asarray(FACE_SIDE, jnp.int32)[face_c]
         # Emission direction: inward normal (low faces emit +, high faces -).
         dirn = jnp.where(side < 0, 1.0, -1.0)
@@ -159,7 +159,12 @@ def child_langmuir(sp_idx: int, spp: SpeciesParams, components,
     return op
 
 
-FACE_AXIS_ARR = jnp.asarray(FACE_AXIS, jnp.int32)
+def _face_axis_arr():
+    # NOT a module-level jnp constant: that would initialize the JAX
+    # backend at import time (hangs when the preloaded TPU plugin's
+    # device is unavailable, e.g. CPU-only CLI runs during a tunnel
+    # outage) and would bake the array onto the wrong platform.
+    return jnp.asarray(FACE_AXIS, jnp.int32)
 
 
 def volume_components(g: Grid, region: Callable, shard=(0, 0, 0)):

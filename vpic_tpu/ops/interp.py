@@ -85,11 +85,16 @@ def load_interpolator(f: FieldState, g: Grid):
     return coeffs.reshape(g.nv, 18)
 
 
-def load_interpolator_T(f: FieldState, g: Grid, nvp: int):
+def load_interpolator_T(f: FieldState, g: Grid, nvp: int, mark=None):
     """Transposed-layout coefficient table (24, nvp; rows 0-17 used) for the
     fused Pallas
     push: voxel index on the TPU lane dimension; built directly (component-
-    major stack of flattened planes) so no on-device transpose is needed."""
+    major stack of flattened planes) so no on-device transpose is needed.
+
+    ``mark`` optionally is an interior (nz, ny, nx) 0/1 mask of cells with
+    per-voxel custom particle-BC faces; it rides spare row 18 (ghost-
+    expanded like the field rows) so the fused kernel gets the flag from
+    the same one-hot gather."""
     # padded to 24 rows (18 used): DMA slices need 8-sublane alignment
     t = _sl3(INT, INT, INT)
 
@@ -138,9 +143,17 @@ def load_interpolator_T(f: FieldState, g: Grid, nvp: int):
                 a = jnp.pad(a, pw)
         return a
 
-    full = jnp.stack([expand(c) for c in comps])      # (18, NZ, NY, NX)
-    flat = full.reshape(18, g.nv)
-    out = jnp.pad(flat, ((0, 6), (0, nvp - g.nv)))
+    if mark is not None:
+        comps = comps + (jnp.asarray(mark, jnp.float32),)
+    full = jnp.stack([expand(c) for c in comps])  # (18[+1], NZ, NY, NX)
+    flat = full.reshape(full.shape[0], g.nv)
+    if mark is not None:
+        flat = jnp.concatenate(
+            [flat[:18], jnp.zeros((6, g.nv), flat.dtype)
+             .at[0].set(flat[18])], axis=0)
+        out = jnp.pad(flat, ((0, 0), (0, nvp - g.nv)))
+    else:
+        out = jnp.pad(flat, ((0, 6), (0, nvp - g.nv)))
     if g.nz == 1 and periodic[1]:
         # Unwrapped-y scheme (see ops/pallas_push.py): the z=0 / z=2 plane
         # thirds hold periodic y-image copies of the z=1 plane so walks can

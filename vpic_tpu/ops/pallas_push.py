@@ -257,7 +257,7 @@ def bucket_sort_p(sp: SpeciesState, g: Grid, bucket: int = BUCKET,
                       i=i, live=live)
 
 
-def _kernel(g: Grid, max_streak, P, V, nvp, resident, ablate,
+def _kernel(g: Grid, max_streak, P, V, nvp, resident, ablate, vbc_mark,
             w0_ref,  # scalar prefetch: (nblocks,) window starts (int32)
             nl_ref,  # scalar prefetch: (nblocks,) live-lane counts (int32)
             qd2_ref,  # scalar prefetch: (nblocks,) per-block qdt_2mc (f32)
@@ -454,6 +454,18 @@ def _kernel(g: Grid, max_streak, P, V, nvp, resident, ablate,
               p_new = pos3[ax] + 2.0 * dp3[ax]
               beyond = (p_new < -1.0 + eps) if side < 0 else (p_new > 1.0 - eps)
               wall = wall | ((coords3[ax] == edge) & beyond)
+      if vbc_mark and not (ablate & 4):
+          # Interior per-voxel BC surfaces: table row 18 carries a 0/1
+          # 'cell has a custom face' mask (gathered for free by the same
+          # one-hot matmul as the field rows); any marked-cell lane that
+          # would exit its cell is frozen for the exact outlier replay,
+          # which applies the per-face code (reflect/absorb/handler).
+          beyond_any = jnp.zeros_like(safe)
+          for ax in range(3):
+              p_new = pos3[ax] + 2.0 * dp3[ax]
+              beyond_any = beyond_any | (p_new < -1.0 + eps) \
+                  | (p_new > 1.0 - eps)
+          wall = wall | ((rows[18] > 0.5) & beyond_any)
       safe = safe & ~wall
       entry_flag = entry_flag | (live & wall)
 
@@ -703,9 +715,10 @@ def vmem_plan(nvp: int, window: int,
 
 @functools.partial(jax.jit, static_argnames=("g", "qsps", "msps",
                                              "max_streak", "block", "window",
-                                             "ablate"))
+                                             "ablate", "vbc_mark"))
 def _run(sps, fcoef_T, acc_T, g: Grid, qsps, msps,
-         max_streak=4, block=0, window=DEF_WINDOW, ablate=0):
+         max_streak=4, block=0, window=DEF_WINDOW, ablate=0,
+         vbc_mark=False):
     """All species through ONE kernel launch: each species is padded to a
     block multiple and the segments concatenated, so every block is
     species-pure and carries its own (qdt_2mc, q) via scalar prefetch.
@@ -796,7 +809,7 @@ def _run(sps, fcoef_T, acc_T, g: Grid, qsps, msps,
     )
 
     kernel = functools.partial(_kernel, g, max_streak, block,
-                               window, nvp, resident, ablate)
+                               window, nvp, resident, ablate, vbc_mark)
     out_shapes = [jax.ShapeDtypeStruct((8, Ntot), jnp.float32),
                   jax.ShapeDtypeStruct((nvh * 16, 128), jnp.float32),
                   jax.ShapeDtypeStruct((1, 1), jnp.int32)]
@@ -930,18 +943,19 @@ def _scatter_back(sp: SpeciesState, s2: SpeciesState, idx, valid):
                       + [jax.lax.bitcast_convert_type(s2.i, jnp.float32),
                          s2.live.astype(jnp.float32)], axis=1)
     big = big.at[tgt].set(small, mode="drop")
+    live = big[:, 8] > 0.5
     return sp.replace(
         dx=big[:, 0], dy=big[:, 1], dz=big[:, 2],
         ux=big[:, 3], uy=big[:, 4], uz=big[:, 5], w=big[:, 6],
         i=jax.lax.bitcast_convert_type(big[:, 7], jnp.int32),
-        live=big[:, 8] > 0.5)
+        live=live, np=jnp.sum(live.astype(jnp.int32)))
 
 
 def outlier_pass(sp: SpeciesState, oflag, fcoef_T, g: Grid,
                  qsp: float, msp: float, acc_small, rhob_flat,
                  max_streak: int = 4, cap: int = 0, spp=None,
                  custom_handlers=None, key=None, return_pends: bool = False,
-                 remap_fn=None, encode_fn=None, diag=None):
+                 remap_fn=None, encode_fn=None, diag=None, vbc=None):
     """Redo entry-guard-flagged lanes through the general XLA advance_p on
     a compacted fixed-size buffer, under a lax.cond so the common
     no-outlier step pays (nearly) nothing.  Two lane classes land here,
@@ -968,7 +982,8 @@ def outlier_pass(sp: SpeciesState, oflag, fcoef_T, g: Grid,
         small = remap(small)
         rows = fcoef_T[:, small.i].T                   # (cap, 18)
         res = advance_p(small, None, g, qsp, msp, acc_small, rhob_flat,
-                        max_streak=max_streak, rows=rows, unroll=True)
+                        max_streak=max_streak, rows=rows, unroll=True,
+                        vbc=vbc)
         s2, acc2, rhob2 = res.species, res.acc, res.rhob_flat
         tgt = jnp.where(valid, idx, N)
         if return_pends:
@@ -1012,7 +1027,8 @@ def outlier_pass(sp: SpeciesState, oflag, fcoef_T, g: Grid,
 
 def fused_push(sp: SpeciesState, fcoef_T, acc_T, g: Grid, qsp: float,
                msp: float, max_streak: int = 4, block: int = 0,
-               window: int = DEF_WINDOW, ablate: int = 0):
+               window: int = DEF_WINDOW, ablate: int = 0,
+               vbc_mark: bool = False):
     """One species push through the fused kernel (transposed layouts).
 
     Precondition: particles bucket-sorted recently enough that each block's
@@ -1024,20 +1040,21 @@ def fused_push(sp: SpeciesState, fcoef_T, acc_T, g: Grid, qsp: float,
     Returns (species, acc_T, outlier_flags, oow)."""
     sps, acc_T, oflags, oow = _run(
         (sp,), fcoef_T, acc_T, g, (float(qsp),), (float(msp),),
-        max_streak, block, window, ablate)
+        max_streak, block, window, ablate, vbc_mark)
     return sps[0], acc_T, oflags[0], oow
 
 
 def fused_push_multi(sps, fcoef_T, acc_T, g: Grid, qms,
                      max_streak: int = 4, block: int = 0,
-                     window: int = DEF_WINDOW, ablate: int = 0):
+                     window: int = DEF_WINDOW, ablate: int = 0,
+                     vbc_mark: bool = False):
     """All species through ONE fused kernel launch (see _run).  ``qms`` is
     a sequence of (charge, mass) per species.  Returns
     (list_of_species, acc_T, list_of_outlier_flags, oow)."""
     return _run(tuple(sps), fcoef_T, acc_T, g,
                 tuple(float(q) for q, _ in qms),
                 tuple(float(m) for _, m in qms),
-                max_streak, block, window, ablate)
+                max_streak, block, window, ablate, vbc_mark)
 
 
 def expand_y_images_T(tab_T, g: Grid):

@@ -154,67 +154,45 @@ def brick_sort_p(sp: SpeciesState, g: Grid, quantum: int = 1024):
 
 def _sort_src_q(b, nb: int, N: int, quantum: int):
     """Per-OUTPUT-slot source index for the quantized brick sort (-1 for
-    gap/dead slots).  Same machinery as pallas_push._sort_dest (digit
-    one-hots at Precision.HIGHEST) with quantized brick offsets; the dead
-    key parks at N and is dropped."""
-    C, R = 256, 128
-    Np = _round_up(N, C)
-    nc = Np // C
-    nhi = (nb + R) // R
-    per = C * (R + nhi) * 6 + C * C + C * R * 4
-    group = max(1, min(nc, (1 << 23) // per))
-    while nc % group:
-        group -= 1
-    bp = jnp.pad(b, (0, Np - N), constant_values=nb)
-    blo = (bp % R).reshape(nc // group, group, C)
-    bhi = (bp // R).reshape(nc // group, group, C)
-    bc = bp.reshape(nc // group, group, C)
-    lane = jnp.arange(C, dtype=jnp.int32)
-    strict = lane[None, :] < lane[:, None]
-    vlo = jnp.arange(R, dtype=bp.dtype)
-    vhi = jnp.arange(nhi, dtype=bp.dtype)
+    gap/dead slots).
 
-    def pass1(args):
-        lo, hi, bg = args
-        ohlo = (lo[:, :, None] == vlo[None, None, :]).astype(jnp.float32)
-        ohhi = (hi[:, :, None] == vhi[None, None, :]).astype(jnp.float32)
-        cnt = jnp.einsum('gch,gcl->ghl', ohhi, ohlo,
-                         precision=jax.lax.Precision.HIGHEST,
-                         preferred_element_type=jnp.float32)
-        eq = (bg[:, :, None] == bg[:, None, :]) & strict[None]
-        rank = jnp.sum(eq.astype(jnp.float32), axis=2)
-        return cnt, rank
+    ONE stable key-value sort orders the lanes by brick; per-brick segment
+    starts come from a vectorized searchsorted, and the quantized layout
+    (each brick's slots rounded up to the block size) is materialized by
+    slicing per-output-block RUNS out of the sorted source list -- the
+    per-block source shift seg_start[k] - qoff[k] is constant inside a
+    block because quantum == block.  Replaces the old digit-one-hot
+    counting machinery + full-N inverse scatter (scatters are latency-
+    bound: the scatter alone cost more than this whole function)."""
+    order = jax.lax.sort((b, jax.lax.iota(jnp.int32, N)), num_keys=1,
+                         is_stable=True)
+    b_sorted, sorted_src = order
+    seg_start = jnp.searchsorted(
+        b_sorted, jnp.arange(nb + 1, dtype=b.dtype)).astype(jnp.int32)
+    totb = seg_start[1:] - seg_start[:-1]                    # (nb,)
+    totq = ((totb + quantum - 1) // quantum) * quantum
+    qend = jnp.cumsum(totq)
+    qoff = qend - totq
+    ok = qend[-1] <= N if nb else jnp.bool_(True)
 
-    counts, rank = jax.lax.map(pass1, (blo, bhi, bc))
-    counts = counts.reshape(nc, nhi, R)
-    rank = rank.reshape(Np)
-    chunk_prefix = jnp.cumsum(counts, axis=0) - counts
-    tot = counts.sum(axis=0).reshape(-1)
-    totb = tot[:nb]
-    totq = jnp.ceil(totb / quantum) * quantum
-    qoff = jnp.cumsum(totq) - totq
-    ok = (jnp.sum(totq) <= N) if nb else jnp.bool_(True)
-    toff = jnp.cumsum(totb) - totb
-    off = jnp.where(ok, qoff, toff)
-    offsets = jnp.concatenate(
-        [off, jnp.full((nhi * R - nb,), float(N), jnp.float32)])
-    E = offsets.reshape(1, nhi, R) + chunk_prefix
+    nblk = (N + quantum - 1) // quantum
+    blk0 = jnp.arange(nblk, dtype=jnp.int32) * quantum       # slot of blk
+    # brick owning each output block (quantized layout); blocks past the
+    # last brick's region get k = nb - 1 and mask to empty via rem <= 0
+    k = jnp.clip(jnp.searchsorted(qend, blk0, side="right"), 0, nb - 1)
+    start_j = blk0 + seg_start[k] - qoff[k]                  # first source
+    rem = jnp.clip(totb[k] - (blk0 - qoff[k]), 0, quantum)   # live in blk
+    srcp = jnp.pad(sorted_src, (0, quantum))                 # slice guard
+    runs = jax.vmap(
+        lambda s: jax.lax.dynamic_slice(srcp, (s,), (quantum,)))(start_j)
+    lane = jnp.arange(quantum, dtype=jnp.int32)[None, :]
+    q_src = jnp.where(lane < rem[:, None], runs, -1).reshape(-1)[:N]
 
-    def pass2(args):
-        lo, hi, Eg = args
-        ohlo = (lo[:, :, None] == vlo[None, None, :]).astype(jnp.float32)
-        ohhi = (hi[:, :, None] == vhi[None, None, :]).astype(jnp.float32)
-        tmp = jnp.einsum('gch,ghl->gcl', ohhi, Eg,
-                         precision=jax.lax.Precision.HIGHEST,
-                         preferred_element_type=jnp.float32)
-        return jnp.sum(tmp * ohlo, axis=2)
-
-    off_base = jax.lax.map(
-        pass2, (blo, bhi, E.reshape(nc // group, group, nhi, R))
-    ).reshape(Np)
-    dest = jnp.minimum(off_base + rank, float(N)).astype(jnp.int32)[:N]
-    return jnp.full((N,), -1, jnp.int32).at[dest].set(
-        jax.lax.iota(jnp.int32, N), mode="drop")
+    # tight-packing fallback (quantized layout would overflow capacity):
+    # compact sorted order, dead lanes (key nb) dropped
+    n_live = seg_start[nb]
+    t_src = jnp.where(jax.lax.iota(jnp.int32, N) < n_live, sorted_src, -1)
+    return jnp.where(ok, q_src, t_src)
 
 
 def _kernel3d(g: Grid, qsp, msp, max_streak, P, nbx, nby, nbz, resident,

@@ -335,13 +335,23 @@ def _edge_masks(g: Grid, ax: int):
 
 
 def streak_walk(g: Grid, qsp, w, pos, disp, coords, u, active, alive,
-                pend, acc, rhob, max_streak: int, unroll: bool = False):
+                pend, acc, rhob, max_streak: int, unroll: bool = False,
+                vbc=None):
     """The move_p streak walk (move_p.cc:216-353) over all lanes at once.
 
     Shared by advance_p (every particle starts here; in-bounds lanes finish
     on the first sub-streak with deposits identical to the reference's
     inline ACCUMULATE_J path) and by boundary_p migration rounds
     (continuation of received particles' remaining displacement).
+
+    ``vbc`` optionally carries per-voxel-face particle-BC overrides -- the
+    TPU analogue of the reference's grid->neighbor[6*nv] encoding
+    (grid.h:116-121, decoded at boundary_p.cc:196-255): a flat (nv*6,)
+    int32 array indexed voxel*6 + face (face = axis + 3*is_hi_side) whose
+    entries are 0 (normal crossing), REFLECT_PARTICLES, ABSORB_PARTICLES,
+    or a ready-made custom pend code (>= CUSTOM_BASE) dispatched to the
+    deck's interior-surface handlers by boundary_p.  This is what lets
+    decks attach reflux/absorb surfaces to interior region boundaries.
 
     pos/disp/coords/u are (x, y, z) triples of (N,) arrays; returns the
     updated tuples plus pend/acc/rhob.  Lanes with pend >= 0 hit a remote
@@ -416,9 +426,44 @@ def streak_walk(g: Grid, qsp, w, pos, disp, coords, u, active, alive,
             else:
                 pz = p_new
 
+        # Per-voxel-face BC overrides come first (the reference decodes
+        # its neighbor-table entry before any domain logic).
+        if vbc is not None:
+            dsel = jnp.where(axis == 0, dirx,
+                             jnp.where(axis == 1, diry, dirz))
+            face_l = jnp.where(axis < 3, axis, 0) + jnp.where(dsel > 0, 3, 0)
+            vox_now = xi + g.NX * (yi + g.NY * zi)
+            code = jnp.where(
+                crossing,
+                vbc[jnp.clip(vox_now * 6 + face_l, 0, vbc.shape[0] - 1)],
+                0)
+        else:
+            code = None
+
         # Neighbor / boundary logic per axis (replaces g->neighbor table).
         for ax in range(3):
             m = crossing & (axis == ax)
+            if code is not None:
+                vb_r = m & (code == REFLECT_PARTICLES)
+                vb_a = m & (code == ABSORB_PARTICLES) & alive
+                vb_p = m & (code >= CUSTOM_BASE)
+                if ax == 0:
+                    ux = jnp.where(vb_r, -ux, ux)
+                    dpx = jnp.where(vb_r, -dpx, dpx)
+                elif ax == 1:
+                    uy = jnp.where(vb_r, -uy, uy)
+                    dpy = jnp.where(vb_r, -dpy, dpy)
+                else:
+                    uz = jnp.where(vb_r, -uz, uz)
+                    dpz = jnp.where(vb_r, -dpz, dpz)
+                vox_now = xi + g.NX * (yi + g.NY * zi)
+                rhob = deposit_rhob(rhob, g, vox_now, px, py, pz, w,
+                                    qsp, vb_a)
+                alive = alive & ~vb_a
+                active = active & ~vb_a
+                pend = jnp.where(vb_p, code, pend)
+                active = active & ~vb_p
+                m = m & ~(vb_r | vb_a | vb_p)
             n_ax = (g.nx, g.ny, g.nz)[ax]
             coord = (xi, yi, zi)[ax]
             d = (dirx, diry, dirz)[ax]
@@ -523,7 +568,7 @@ def streak_walk(g: Grid, qsp, w, pos, disp, coords, u, active, alive,
 
 def advance_p(sp: SpeciesState, fcoef, g: Grid, qsp: float, msp: float,
               acc, rhob_flat, max_streak: int = 4,
-              rows=None, unroll: bool = False) -> PushResult:
+              rows=None, unroll: bool = False, vbc=None) -> PushResult:
     """One leapfrog step for one species (see module docstring).
 
     ``acc`` is the shared (nv, 12) accumulator: contributions from every
@@ -565,7 +610,7 @@ def advance_p(sp: SpeciesState, fcoef, g: Grid, qsp: float, msp: float,
     (pos, disp, coords, u, alive, pend, acc, rhob_flat) = streak_walk(
         g, qsp, sp.w, (dx, dy, dz), (dispx, dispy, dispz), (xi, yi, zi),
         (ux, uy, uz), alive, alive, pend0, acc, rhob_flat, max_streak,
-        unroll=unroll)
+        unroll=unroll, vbc=vbc)
 
     vox = coords[0] + g.NX * (coords[1] + g.NY * coords[2])
     new_sp = sp.replace(
