@@ -92,3 +92,60 @@ def test_shapes_materials_shape_the_wave():
     # dielectric materialized: eps differs inside the slab
     mc = sim._material_coeffs()
     assert mc is not None
+
+
+def test_cygnus_pulse_drives_fields():
+    """sample/cygnus analogue: rod-pinch diode geometry (multi-material
+    conductor regions with fully absorbing interior particle surfaces via
+    set_region_particle_bc), size_domain/join_domain/BOUNDARY deck
+    vocabulary, trapezoidal pulse through the field-injection hook."""
+    from vpic_tpu.models import cygnus
+    sim = cygnus.build(cygnus.CygnusParams(nx=64, nz=12, t_end=2e-9))
+    state = run(sim, 20)
+    e = np.asarray(sim.energies(state))
+    assert np.isfinite(e).all()
+    # the feed-gap pulse drove real field energy into the diode
+    assert e[:6].sum() > 0
+    ex = np.abs(np.asarray(state.fields.ex)).max()
+    V_gap = cygnus.CygnusParams().V_peak / (
+        cygnus.CygnusParams().r_o - cygnus.CygnusParams().r_i)
+    assert 0.1 * V_gap < ex < 100 * V_gap
+
+
+def test_force_free_energy_conservation():
+    """sample/force_free analogue: helical force-free field + drifting
+    bi-Maxwellian load; short-run energy conservation."""
+    from vpic_tpu.models import force_free
+    sim = force_free.build(force_free.ForceFreeParams(
+        nx=16, ny=8, nz=8, nppc=4, taui=1.0))
+    state = sim.initialize()
+    e0 = np.asarray(sim.energies(state)).sum()
+    state = run(sim, 20, state)
+    e1 = np.asarray(sim.energies(state)).sum()
+    assert np.isfinite(e1)
+    assert abs(e1 - e0) / e0 < 5e-3
+
+
+def test_lpi_2d_decomposition():
+    """sample/interface_deck_2D_decomp analogue: the LPI deck on a 2-D
+    (2,1,2) device-mesh decomposition -- laser drive + absorbing x faces
+    with the domain BCs applied only at outermost shards."""
+    from vpic_tpu.models import lpi
+    p1 = lpi.LPIParams(topology=(1, 1, 1))
+    p2 = lpi.LPIParams(topology=(2, 2, 1))
+    sim1, sim2 = lpi.build(p1), lpi.build(p2)
+    s1 = run(sim1, 10)
+    s2 = run(sim2, 10)
+    e1 = np.asarray(sim1.energies(s1))
+    e2 = np.asarray(sim2.energies(s2))
+    n1 = int(sum(np.asarray(sp.np).sum() for sp in s1.species))
+    n2 = int(sum(np.asarray(sp.np).sum() for sp in s2.species))
+    assert n1 == n2
+    # particle energies must track tightly; the laser components (ey/bz)
+    # to a few percent.  Startup field NOISE decorrelates between
+    # decompositions (staging converts global->local coordinates per
+    # shard, so offsets differ at f32 ulp level), so pure-noise
+    # components are not comparable observables.
+    np.testing.assert_allclose(e2[6:], e1[6:], rtol=5e-3)
+    np.testing.assert_allclose(e2[[1, 5]], e1[[1, 5]], rtol=5e-2)
+    assert np.isfinite(e2).all()

@@ -174,6 +174,64 @@ class Simulation:
             dt=self._dt, cvac=self._cvac, eps0=self._eps0)
         return self.grid
 
+    def size_domain(self, nx, ny, nz):
+        """size_domain (vpic.h:380, grid/ops.c partition entry): a
+        particle-reflecting metal box with unit spacing at the origin;
+        decks then override geometry via set_domain_geometry and faces
+        via set_domain_field_bc / join_domain, exactly the reference's
+        size_domain -> grid->x0/dx surgery -> set_fbc/join_grid flow."""
+        self.grid = partition_metal_box(
+            0.0, 0.0, 0.0, float(nx), float(ny), float(nz),
+            int(nx), int(ny), int(nz), 1, 1, 1,
+            dt=self._dt, cvac=self._cvac, eps0=self._eps0)
+        return self.grid
+
+    def set_domain_geometry(self, x0=None, y0=None, z0=None,
+                            dx=None, dy=None, dz=None):
+        """The deck-side analogue of writing grid->x0/dx directly
+        (sample/cygnus:88-95): rebuild the frozen Grid with the new
+        corner / spacing (the Grid stores corners; spacings are derived,
+        so dx overrides become x1 = x0 + dx*gnx)."""
+        import dataclasses as _dc
+        g = self.grid
+        nx0 = g.x0 if x0 is None else float(x0)
+        ny0 = g.y0 if y0 is None else float(y0)
+        nz0 = g.z0 if z0 is None else float(z0)
+        nx1 = nx0 + (float(dx) * g.gnx if dx is not None
+                     else (g.x1 - g.x0))
+        ny1 = ny0 + (float(dy) * g.gny if dy is not None
+                     else (g.y1 - g.y0))
+        nz1 = nz0 + (float(dz) * g.gnz if dz is not None
+                     else (g.z1 - g.z0))
+        self.grid = _dc.replace(g, x0=nx0, y0=ny0, z0=nz0,
+                                x1=nx1, y1=ny1, z1=nz1)
+        return self.grid
+
+    def join_domain(self, boundary: int, rank: int, src_rank: int = 0):
+        """join_domain (grid/ops.c:119 join_grid): connect a local face to
+        another domain's opposite face.  The TPU port runs domains as
+        device-mesh shards, so regular joins are expressed through the
+        partition topology; the supported join patterns are
+        - self-join (rank == src_rank): the face pair becomes periodic
+          (sample/cygnus:96-97's 2-D y periodicity)
+        - anything else: use topology=(px,py,pz) in the partition call
+          (chained joins along an axis ARE a mesh axis -- sample/emission
+          and sample/waveguide port that way); hand-wired irregular
+          domain graphs are not supported on a device mesh."""
+        if rank != src_rank:
+            raise NotImplementedError(
+                "join_domain across ranks: express regular chains via the "
+                "partition topology; irregular domain graphs are not "
+                "representable on a jax device mesh")
+        from .grid import P_PERIODIC, PERIODIC
+        face = int(boundary)
+        axis = face % 3
+        # periodicity needs both faces of the axis; apply to the pair
+        self.grid = self.grid.with_bc(axis, fbc=PERIODIC, pbc=P_PERIODIC)
+        self.grid = self.grid.with_bc(axis + 3, fbc=PERIODIC,
+                                      pbc=P_PERIODIC)
+        return self.grid
+
     def set_domain_field_bc(self, face: int, bc: int):
         self.grid = self.grid.with_bc(face, fbc=bc)
 
@@ -833,12 +891,13 @@ class Simulation:
                     # ALL species through one kernel launch (species-pure
                     # blocks carry their own q/m via scalar prefetch):
                     # halves the call-fixed table-DMA + prep cost
-                    species, acc_T, oflags, _ = PP.fused_push_multi(
-                        species, fcoef_T, acc_T, g,
-                        [(spp.q, spp.m) for spp in sp_params],
-                        max_streak=self.max_streak, window=window,
-                        vbc_mark=vbc is not None)
-                    species = list(species)
+                    if sp_params:
+                        species, acc_T, oflags, _ = PP.fused_push_multi(
+                            species, fcoef_T, acc_T, g,
+                            [(spp.q, spp.m) for spp in sp_params],
+                            max_streak=self.max_streak, window=window,
+                            vbc_mark=vbc is not None)
+                        species = list(species)
                 for k, spp in enumerate(sp_params):
                     sp, oflag = species[k], oflags[k]
                     # outlier lanes (stale sort / wall crossers) are rare;

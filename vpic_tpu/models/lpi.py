@@ -75,7 +75,13 @@ def build(p: LPIParams = LPIParams()) -> Simulation:
     Ne = int(p.nppc * n_cells_slab)
     we = n_pl * slab_vol / max(Ne, 1)
 
-    ns = p.topology[0] * p.topology[1] * p.topology[2]
+    # per-shard capacity: the slab only spans x > slab_x0, so under an
+    # x decomposition only the overlapping x-shards stage particles --
+    # size buffers by the overlapping shard count, not the total
+    nsx = p.topology[0]
+    overlap = sum(1 for i in range(nsx)
+                  if (i + 1) * p.Lx / nsx > p.slab_x0) or 1
+    ns = overlap * p.topology[1] * p.topology[2]
     electron = sim.define_species("electron", -ec, me, 2.0 * Ne / ns, -1,
                                   20, 1)
     ion = sim.define_species("ion", ec, me * p.mi_me, 2.0 * Ne / ns, -1,
@@ -99,11 +105,21 @@ def build(p: LPIParams = LPIParams()) -> Simulation:
     e0 = p.laser_a0 * me * c * w_l / ec
     ramp_steps = int(2 * math.pi / (w_l * dt))
 
+    gx = sim.grid
+
     def field_injection(f, step):
         t = step.astype(jnp.float32) * dt
         ramp = jnp.minimum(step.astype(jnp.float32) / ramp_steps, 1.0)
         drive = e0 * ramp * jnp.sin(w_l * t)
-        ey = f.ey.at[:, :, 1].set(drive)
+        # only the GLOBAL x-lo boundary shard drives the antenna plane
+        # (each shard's local x=1 is a laser face only on shard ix == 0)
+        if gx.topology[0] > 1:
+            import jax
+            on_face = jax.lax.axis_index(gx.mesh_axes[0]) == 0
+            plane = jnp.where(on_face, drive, f.ey[:, :, 1])
+        else:
+            plane = jnp.broadcast_to(drive, f.ey[:, :, 1].shape)
+        ey = f.ey.at[:, :, 1].set(plane)
         return f.replace(ey=ey)
 
     sim.user_field_injection = field_injection
