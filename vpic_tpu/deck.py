@@ -872,15 +872,17 @@ class Simulation:
                 pends, disps = [], []
                 oflags = [None] * len(sp_params)
                 if fused3:
-                    for k, spp in enumerate(sp_params):
-                        sp = jax.lax.cond(
+                    for k in range(len(sp_params)):
+                        species[k] = jax.lax.cond(
                             step % sortK == 0,
                             lambda s: PP3.brick_sort_p(s, g),
                             lambda s: s, species[k])
-                        sp, acc_T, oflags[k], _ = PP3.fused_push3d(
-                            sp, tab_chart, acc_T, g, spp.q, spp.m,
+                    if sp_params:
+                        species, acc_T, oflags, _ = PP3.fused_push3d_multi(
+                            species, tab_chart, acc_T, g,
+                            [(spp.q, spp.m) for spp in sp_params],
                             max_streak=self.max_streak)
-                        species[k] = sp
+                        species = list(species)
                 else:
                     for k in range(len(sp_params)):
                         species[k] = jax.lax.cond(

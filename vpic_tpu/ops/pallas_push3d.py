@@ -195,18 +195,34 @@ def _sort_src_q(b, nb: int, N: int, quantum: int):
     return jnp.where(ok, q_src, t_src)
 
 
-def _kernel3d(g: Grid, qsp, msp, max_streak, P, nbx, nby, nbz, resident,
-              w0_ref,
-              dx_ref, dy_ref, dz_ref, vox_ref, ux_ref, uy_ref, uz_ref,
-              w_ref, live_ref, tab_ref, acc_in_ref,
-              odx_ref, ody_ref, odz_ref, ovox_ref, oux_ref, ouy_ref,
-              ouz_ref, oflag_ref,
+def _kernel3d(g: Grid, max_streak, P, nbx, nby, nbz, resident,
+              w0_ref,   # scalar prefetch: (nblocks,) chart starts (lanes)
+              nl_ref,   # scalar prefetch: (nblocks,) live-lane counts
+              qd2_ref,  # scalar prefetch: (nblocks,) per-block qdt_2mc
+              qsp_ref,  # scalar prefetch: (nblocks,) per-block charge
+              pk_ref,   # (9, P) packed lane state (see 2-D kernel)
+              tab_ref, acc_in_ref,
+              opk_ref,  # (8, P) packed outputs
               acc_ref, oow_ref, tab_sem, acc_sem, tab_scratch, acc_scratch):
+    """Brick-chart 3-D push with the 2-D kernel's factorized one-hot
+    scheme: a chart cell loc = h*128 + l splits into digits, the gather /
+    deposit contract against the (P, 128) lo one-hot on the MXU and the
+    hi digit is applied as a cheap select -- the dense (P, 1024) one-hot
+    materialization this replaces was the dominant VPU cost.  Tables and
+    accumulator ride the h-major row layout tab3[(chart_h)*24 + r, l]
+    (chart_h = global 128-lane group index), so a chart is a 8*24-row
+    sublane slice.  All species share ONE launch (species-pure blocks
+    carry q/m via scalar prefetch) and lane state crosses as one packed
+    matrix -- see ops/pallas_push.py for the rationale."""
     V = S
+    H = V // 128
     bnum = pl.program_id(0)
     w0 = pl.multiple_of(w0_ref[bnum], S)
+    s24 = pl.multiple_of((w0 // 128) * 24, 8)
+    s16 = pl.multiple_of((w0 // 128) * 16, 8)
 
-    qdt_2mc = (qsp * g.dt) / (2.0 * msp * g.cvac)
+    qdt_2mc = qd2_ref[bnum]
+    qsp = qsp_ref[bnum]
     cdt = (g.cvac * g.dt * g.rdx, g.cvac * g.dt * g.rdy,
            g.cvac * g.dt * g.rdz)
 
@@ -224,252 +240,324 @@ def _kernel3d(g: Grid, qsp, msp, max_streak, P, nbx, nby, nbz, resident,
             tdma.wait()
             adma.wait()
     else:
-        tdma = pltpu.make_async_copy(tab_ref.at[:, pl.ds(w0, V)],
-                                     tab_scratch, tab_sem)
-        tdma.start()
-
         @pl.when(bnum == 0)
         def _():
             oow_ref[0, 0] = 0
-        adma_in = pltpu.make_async_copy(acc_ref.at[:, pl.ds(w0, V)],
+
+    # Dead-block skip (whole-dead blocks = empty bricks' pad regions)
+    nl = nl_ref[bnum]
+
+    @pl.when(nl == 0)
+    def _passthrough():
+        opk_ref[0:7, :] = pk_ref[0:7, :]
+        opk_ref[7, :] = jnp.zeros((P,), jnp.float32)
+
+    @pl.when(nl > 0)
+    def _live_body():
+      if not resident:
+        tdma = pltpu.make_async_copy(tab_ref.at[pl.ds(s24, 24 * H), :],
+                                     tab_scratch, tab_sem)
+        tdma.start()
+        adma_in = pltpu.make_async_copy(acc_ref.at[pl.ds(s16, 16 * H), :],
                                         acc_scratch, acc_sem)
         adma_in.start()
         tdma.wait()
 
-    dx = dx_ref[:]
-    dy = dy_ref[:]
-    dz = dz_ref[:]
-    vox = vox_ref[:]
-    ux = ux_ref[:]
-    uy = uy_ref[:]
-    uz = uz_ref[:]
-    w = w_ref[:]
-    live = live_ref[:] > 0
+      dx = pk_ref[0, :]
+      dy = pk_ref[1, :]
+      dz = pk_ref[2, :]
+      vox = pk_ref[3, :].astype(jnp.int32)   # value-encoded (< 2^24)
+      ux = pk_ref[4, :]
+      uy = pk_ref[5, :]
+      uz = pk_ref[6, :]
+      w = pk_ref[7, :]
+      live = pk_ref[8, :] > 0.5
 
-    lane = jax.lax.broadcasted_iota(jnp.int32, (P, V), 1)
-    # canonical -> chart-local relative to this block's brick; periodic
-    # axes wrap to the nearest image so edge-brick halos resolve
-    brick = w0 // S
-    BX = brick - nbx * (brick // nbx)
-    BY = (brick // nbx) - nby * (brick // (nbx * nby))
-    BZ = brick // (nbx * nby)
-    gz = vox // g.sz
-    r = vox - gz * g.sz
-    gy = r // g.sy
-    gx = r - gy * g.sy
+      lane_r = jax.lax.broadcasted_iota(jnp.int32, (P, 128), 1)
+      iota_h = jax.lax.broadcasted_iota(jnp.int32, (H, P), 0)
+      # canonical -> chart-local relative to this block's brick; periodic
+      # axes wrap to the nearest image so edge-brick halos resolve
+      brick = w0 // S
+      BX = brick - nbx * (brick // nbx)
+      BY = (brick // nbx) - nby * (brick // (nbx * nby))
+      BZ = brick // (nbx * nby)
+      gz = vox // g.sz
+      r = vox - gz * g.sz
+      gy = r // g.sy
+      gx = r - gy * g.sy
 
-    def rel(gc, base, n_ax, ax):
-        lr = gc - base
-        if _eff_bc(g, ax, -1) == P_PERIODIC and g.topology[ax] == 1:
-            # Wrap to the nearest image ONLY when already outside the
-            # chart range [0, C3): at the minimum axis size (n_ax = 2*B3
-            # = 16 < 2*C3 - 1) an ungated wrap would eject genuine chart
-            # cells with lr in (n_ax - C3, C3) every step.
-            lr = jnp.where((lr >= C3) & (lr > n_ax - C3), lr - n_ax, lr)
-            lr = jnp.where((lr < 0) & (lr < -(n_ax - C3)), lr + n_ax, lr)
-        return lr
+      def rel(gc, base, n_ax, ax):
+          lr = gc - base
+          if _eff_bc(g, ax, -1) == P_PERIODIC and g.topology[ax] == 1:
+              # Wrap to the nearest image ONLY when already outside the
+              # chart range [0, C3): at the minimum axis size (n_ax = 2*B3
+              # = 16 < 2*C3 - 1) an ungated wrap would eject genuine chart
+              # cells with lr in (n_ax - C3, C3) every step.
+              lr = jnp.where((lr >= C3) & (lr > n_ax - C3), lr - n_ax, lr)
+              lr = jnp.where((lr < 0) & (lr < -(n_ax - C3)), lr + n_ax, lr)
+          return lr
 
-    lx = rel(gx, BX * B3, g.nx, 0)
-    ly = rel(gy, BY * B3, g.ny, 1)
-    lz = rel(gz, BZ * B3, g.nz, 2)
-    in_chart = (live & (lx >= 0) & (lx < C3) & (ly >= 0) & (ly < C3)
-                & (lz >= 0) & (lz < C3))
-    loc = lx + C3 * (ly + C3 * lz)
+      lx = rel(gx, BX * B3, g.nx, 0)
+      ly = rel(gy, BY * B3, g.ny, 1)
+      lz = rel(gz, BZ * B3, g.nz, 2)
+      in_chart = (live & (lx >= 0) & (lx < C3) & (ly >= 0) & (ly < C3)
+                  & (lz >= 0) & (lz < C3))
+      loc = lx + C3 * (ly + C3 * lz)
 
-    safe = in_chart
-    local = jnp.where(safe, loc, -1)[:, None]
-    onehot = (lane == local).astype(jnp.bfloat16)
+      safe = in_chart
+      loc0 = jnp.where(safe, loc, -1)
+      oh_lo0 = (lane_r == (loc0 & 127)[:, None]).astype(jnp.bfloat16) \
+          * (loc0 >= 0)[:, None].astype(jnp.bfloat16)
+      ohhi0 = (iota_h == (loc0 // 128)[None, :]).astype(jnp.float32)
 
-    if resident:
-        tab_win = tab_scratch[:, pl.ds(w0, V)]
-    else:
-        tab_win = tab_scratch[:, :]
-    rows = _hilo_dot(tab_win, onehot, ((1,), (1,)))
+      if resident:
+          tab_win = tab_scratch[pl.ds(s24, 24 * H), :]
+      else:
+          tab_win = tab_scratch[:, :]
+      G2 = _hilo_dot(tab_win, oh_lo0, ((1,), (1,)))      # (24H, P)
+      rows = G2[0:24] * ohhi0[0]
+      for h in range(1, H):
+          rows = rows + G2[24 * h:24 * (h + 1)] * ohhi0[h]
 
-    hax = qdt_2mc * ((rows[0] + dy * rows[1]) + dz * (rows[2] + dy * rows[3]))
-    hay = qdt_2mc * ((rows[4] + dz * rows[5]) + dx * (rows[6] + dz * rows[7]))
-    haz = qdt_2mc * ((rows[8] + dx * rows[9]) + dy * (rows[10] + dx * rows[11]))
-    cbx = rows[12] + dx * rows[13]
-    cby = rows[14] + dy * rows[15]
-    cbz = rows[16] + dz * rows[17]
+      hax = qdt_2mc * ((rows[0] + dy * rows[1])
+                       + dz * (rows[2] + dy * rows[3]))
+      hay = qdt_2mc * ((rows[4] + dz * rows[5])
+                       + dx * (rows[6] + dz * rows[7]))
+      haz = qdt_2mc * ((rows[8] + dx * rows[9])
+                       + dy * (rows[10] + dx * rows[11]))
+      cbx = rows[12] + dx * rows[13]
+      cby = rows[14] + dy * rows[15]
+      cbz = rows[16] + dz * rows[17]
 
-    ux = ux + hax
-    uy = uy + hay
-    uz = uz + haz
-    v0 = qdt_2mc * jax.lax.rsqrt(1.0 + (ux * ux + (uy * uy + uz * uz)))
-    v1 = cbx * cbx + (cby * cby + cbz * cbz)
-    v2 = (v0 * v0) * v1
-    v3 = v0 * (1.0 + v2 * (ONE_THIRD + v2 * TWO_FIFTEENTHS))
-    v4 = v3 / (1.0 + v1 * (v3 * v3))
-    v4 = v4 + v4
-    t0 = ux + v3 * (uy * cbz - uz * cby)
-    t1 = uy + v3 * (uz * cbx - ux * cbz)
-    t2 = uz + v3 * (ux * cby - uy * cbx)
-    ux = ux + v4 * (t1 * cbz - t2 * cby)
-    uy = uy + v4 * (t2 * cbx - t0 * cbz)
-    uz = uz + v4 * (t0 * cby - t1 * cbx)
-    ux = ux + hax
-    uy = uy + hay
-    uz = uz + haz
+      ux = ux + hax
+      uy = uy + hay
+      uz = uz + haz
+      v0 = qdt_2mc * jax.lax.rsqrt(1.0 + (ux * ux + (uy * uy + uz * uz)))
+      v1 = cbx * cbx + (cby * cby + cbz * cbz)
+      v2 = (v0 * v0) * v1
+      v3 = v0 * (1.0 + v2 * (ONE_THIRD + v2 * TWO_FIFTEENTHS))
+      v4 = v3 / (1.0 + v1 * (v3 * v3))
+      v4 = v4 + v4
+      t0 = ux + v3 * (uy * cbz - uz * cby)
+      t1 = uy + v3 * (uz * cbx - ux * cbz)
+      t2 = uz + v3 * (ux * cby - uy * cbx)
+      ux = ux + v4 * (t1 * cbz - t2 * cby)
+      uy = uy + v4 * (t2 * cbx - t0 * cbz)
+      uz = uz + v4 * (t0 * cby - t1 * cbx)
+      ux = ux + hax
+      uy = uy + hay
+      uz = uz + haz
 
-    rg = jax.lax.rsqrt(1.0 + (ux * ux + (uy * uy + uz * uz)))
-    dpx = ux * cdt[0] * rg
-    dpy = uy * cdt[1] * rg
-    dpz = uz * cdt[2] * rg
+      rg = jax.lax.rsqrt(1.0 + (ux * ux + (uy * uy + uz * uz)))
+      dpx = ux * cdt[0] * rg
+      dpy = uy * cdt[1] * rg
+      dpz = uz * cdt[2] * rg
 
-    # Pre-flag (before ANY deposit); frozen lanes go to the exact outlier
-    # pass: chart exits from the outer shell, and absorbing/custom/remote
-    # global-wall crossings.  Periodic needs nothing (halo IS the wrapped
-    # copy); reflect bounces in-kernel in the walk below.
-    eps = 1e-5
-    flag = jnp.zeros_like(safe)
-    for ax, (lcoord, gcoord, pos, dp, n_ax) in enumerate((
-            (lx, gx, dx, dpx, g.nx), (ly, gy, dy, dpy, g.ny),
-            (lz, gz, dz, dpz, g.nz))):
-        p_new = pos + 2.0 * dp
-        below = p_new < -1.0 + eps
-        above = p_new > 1.0 - eps
-        refl_lo = _eff_bc(g, ax, -1) == REFLECT_PARTICLES
-        refl_hi = _eff_bc(g, ax, 1) == REFLECT_PARTICLES
-        exit_lo = below & (lcoord == 0) & ~(
-            jnp.full_like(below, refl_lo) & (gcoord == 1))
-        exit_hi = above & (lcoord == C3 - 1) & ~(
-            jnp.full_like(above, refl_hi) & (gcoord == n_ax))
-        flag = flag | exit_lo | exit_hi
-        for side, out_m in ((-1, below), (1, above)):
-            bc = _eff_bc(g, ax, side)
-            if bc in (P_PERIODIC, REFLECT_PARTICLES):
-                continue
-            edge = 1 if side < 0 else n_ax
-            flag = flag | ((gcoord == edge) & out_m)
-    safe = safe & ~flag
-    entry_flag = live & ~safe
+      # Pre-flag (before ANY deposit); frozen lanes go to the exact
+      # outlier pass: chart exits from the outer shell, and absorbing/
+      # custom/remote global-wall crossings.  Periodic needs nothing
+      # (halo IS the wrapped copy); reflect bounces in the walk below.
+      eps = 1e-5
+      flag = jnp.zeros_like(safe)
+      for ax, (lcoord, gcoord, pos, dp, n_ax) in enumerate((
+              (lx, gx, dx, dpx, g.nx), (ly, gy, dy, dpy, g.ny),
+              (lz, gz, dz, dpz, g.nz))):
+          p_new = pos + 2.0 * dp
+          below = p_new < -1.0 + eps
+          above = p_new > 1.0 - eps
+          refl_lo = _eff_bc(g, ax, -1) == REFLECT_PARTICLES
+          refl_hi = _eff_bc(g, ax, 1) == REFLECT_PARTICLES
+          exit_lo = below & (lcoord == 0) & ~(
+              jnp.full_like(below, refl_lo) & (gcoord == 1))
+          exit_hi = above & (lcoord == C3 - 1) & ~(
+              jnp.full_like(above, refl_hi) & (gcoord == n_ax))
+          flag = flag | exit_lo | exit_hi
+          for side, out_m in ((-1, below), (1, above)):
+              bc = _eff_bc(g, ax, side)
+              if bc in (P_PERIODIC, REFLECT_PARTICLES):
+                  continue
+              edge = 1 if side < 0 else n_ax
+              flag = flag | ((gcoord == edge) & out_m)
+      safe = safe & ~flag
+      entry_flag = live & ~safe
 
-    q0 = jnp.where(safe, qsp * w, 0.0)
-    active = safe
-    if not resident:
-        adma_in.wait()
+      q0 = jnp.where(safe, qsp * w, 0.0)
+      active = safe
+      if not resident:
+          adma_in.wait()
 
-    px, py, pz = dx, dy, dz
-    lcs = [lx, ly, lz]
-    gcs = [gx, gy, gz]
-    for round_idx in range(max_streak):
-        dirx = jnp.where(dpx > 0, 1.0, -1.0)
-        diry = jnp.where(dpy > 0, 1.0, -1.0)
-        dirz = jnp.where(dpz > 0, 1.0, -1.0)
-        s0 = jnp.where(dpx == 0, BIG, (dirx - px) / jnp.where(dpx == 0, 1, dpx))
-        s1 = jnp.where(dpy == 0, BIG, (diry - py) / jnp.where(dpy == 0, 1, dpy))
-        s2 = jnp.where(dpz == 0, BIG, (dirz - pz) / jnp.where(dpz == 0, 1, dpz))
-        v3w = jnp.full_like(s0, 2.0)
-        axis = jnp.full_like(lx, 3)
-        for k, sk in enumerate((s0, s1, s2)):
-            tk = sk < v3w
-            v3w = jnp.where(tk, sk, v3w)
-            axis = jnp.where(tk, k, axis)
-        frac = 0.5 * v3w
-        sdx = dpx * frac
-        sdy = dpy * frac
-        sdz = dpz * frac
-        midx = px + sdx
-        midy = py + sdy
-        midz = pz + sdz
+      px, py, pz = dx, dy, dz
+      lcs = [lx, ly, lz]
+      gcs = [gx, gy, gz]
+      for round_idx in range(max_streak):
+          dirx = jnp.where(dpx > 0, 1.0, -1.0)
+          diry = jnp.where(dpy > 0, 1.0, -1.0)
+          dirz = jnp.where(dpz > 0, 1.0, -1.0)
+          s0 = jnp.where(dpx == 0, BIG,
+                         (dirx - px) / jnp.where(dpx == 0, 1, dpx))
+          s1 = jnp.where(dpy == 0, BIG,
+                         (diry - py) / jnp.where(dpy == 0, 1, dpy))
+          s2 = jnp.where(dpz == 0, BIG,
+                         (dirz - pz) / jnp.where(dpz == 0, 1, dpz))
+          v3w = jnp.full_like(s0, 2.0)
+          axis = jnp.full_like(lx, 3)
+          for k, sk in enumerate((s0, s1, s2)):
+              tk = sk < v3w
+              v3w = jnp.where(tk, sk, v3w)
+              axis = jnp.where(tk, k, axis)
+          frac = 0.5 * v3w
+          sdx = dpx * frac
+          sdy = dpy * frac
+          sdz = dpz * frac
+          midx = px + sdx
+          midy = py + sdy
+          midz = pz + sdz
 
-        qa = jnp.where(active, q0, 0.0)
-        v5 = qa * sdx * sdy * sdz * ONE_THIRD
+          qa = jnp.where(active, q0, 0.0)
+          v5 = qa * sdx * sdy * sdz * ONE_THIRD
 
-        def quad(qu, dY, dZ):
-            a1 = qu * dY
-            a0 = qu - a1
-            a1 = a1 + qu
-            c = 1.0 + dZ
-            a2 = a0 * c
-            a3 = a1 * c
-            d = 1.0 - dZ
-            return (a0 * d + v5, a1 * d - v5, a2 - v5, a3 + v5)
+          def quad(qu, dY, dZ):
+              a1 = qu * dY
+              a0 = qu - a1
+              a1 = a1 + qu
+              c = 1.0 + dZ
+              a2 = a0 * c
+              a3 = a1 * c
+              d = 1.0 - dZ
+              return (a0 * d + v5, a1 * d - v5, a2 - v5, a3 + v5)
 
-        jxs = quad(qa * sdx, midy, midz)
-        jys = quad(qa * sdy, midz, midx)
-        jzs = quad(qa * sdz, midx, midy)
-        zero4 = (jnp.zeros_like(sdx),) * 4
-        vals = jnp.stack(jxs + jys + jzs + zero4, axis=0)
+          jxs = quad(qa * sdx, midy, midz)
+          jys = quad(qa * sdy, midz, midx)
+          jzs = quad(qa * sdz, midx, midy)
+          zero4 = (jnp.zeros_like(sdx),) * 4
+          vals = jnp.stack(jxs + jys + jzs + zero4, axis=0)   # (16, P)
 
-        loc_cur = lcs[0] + C3 * (lcs[1] + C3 * lcs[2])
+          loc_cur = lcs[0] + C3 * (lcs[1] + C3 * lcs[2])
 
-        def deposit(vals=vals, loc_cur=loc_cur, active=active):
-            oh = (lane == loc_cur[:, None]).astype(jnp.bfloat16)
-            # terms=3: better-than-f32 deposit accuracy at one extra MXU pass
-            upd_a = _hilo_dot(vals, oh, ((1,), (0,)), terms=3)
-            if resident:
-                acc_scratch[:, pl.ds(w0, V)] += upd_a
-            else:
-                acc_scratch[:, :] += upd_a
-            oow_ref[0, 0] += jnp.sum(jnp.where(
-                active & ((loc_cur < 0) | (loc_cur >= V)), 1, 0))
+          def deposit(vals=vals, loc_cur=loc_cur, active=active,
+                      reuse=None):
+              if reuse is None:
+                  okw = (loc_cur >= 0) & (loc_cur < V)
+                  lo = jnp.where(okw, loc_cur & 127, -1)[:, None]
+                  oh_lo = (lane_r == lo).astype(jnp.bfloat16)
+                  ohhi = (iota_h == (loc_cur // 128)[None, :]).astype(
+                      jnp.float32)
+              else:
+                  oh_lo, ohhi = reuse
+              # 3-term bf16 split of vals BEFORE the h-expansion (see the
+              # 2-D kernel): better-than-f32 deposit accuracy, bf16-only
+              # expanded tensors
+              v_hi = vals.astype(jnp.bfloat16)
+              r1 = vals - v_hi.astype(jnp.float32)
+              v_mid = r1.astype(jnp.bfloat16)
+              v_lo = (r1 - v_mid.astype(jnp.float32)).astype(jnp.bfloat16)
+              ohhi_b = ohhi.astype(jnp.bfloat16)
+              dot = functools.partial(
+                  jax.lax.dot_general,
+                  dimension_numbers=((((1,), (0,))), ((), ())),
+                  preferred_element_type=jnp.float32)
+              expand = lambda vt: (ohhi_b[:, None, :]
+                                   * vt[None, :, :]).reshape(16 * H, P)
+              upd = (dot(expand(v_hi), oh_lo)
+                     + dot(expand(v_mid), oh_lo)
+                     + dot(expand(v_lo), oh_lo))          # (16H, 128)
+              if resident:
+                  acc_scratch[pl.ds(s16, 16 * H), :] += upd
+              else:
+                  acc_scratch[:, :] += upd
+              oow_ref[0, 0] += jnp.sum(jnp.where(
+                  active & ((loc_cur < 0) | (loc_cur >= V)), 1, 0))
 
-        if round_idx == 0:
-            deposit()
-        else:
-            pl.when(jnp.any(active))(deposit)
+          if round_idx == 0:
+              deposit(reuse=(oh_lo0, ohhi0))
+          else:
+              pl.when(jnp.any(active))(deposit)
 
-        upd = lambda o, n: jnp.where(active, n, o)
-        dpx = upd(dpx, dpx - sdx)
-        dpy = upd(dpy, dpy - sdy)
-        dpz = upd(dpz, dpz - sdz)
-        px = upd(px, px + sdx + sdx)
-        py = upd(py, py + sdy + sdy)
-        pz = upd(pz, pz + sdz + sdz)
+          upd_ = lambda o, n: jnp.where(active, n, o)
+          dpx = upd_(dpx, dpx - sdx)
+          dpy = upd_(dpy, dpy - sdy)
+          dpz = upd_(dpz, dpz - sdz)
+          px = upd_(px, px + sdx + sdx)
+          py = upd_(py, py + sdy + sdy)
+          pz = upd_(pz, pz + sdz + sdz)
 
-        ended = axis == 3
-        crossing = active & ~ended
-        active = crossing
+          ended = axis == 3
+          crossing = active & ~ended
+          active = crossing
 
-        for ax in range(3):
-            m = crossing & (axis == ax)
-            pp = (px, py, pz)[ax]
-            dd = (dirx, diry, dirz)[ax]
-            pn = jnp.where(m, dd, pp)
-            if ax == 0:
-                px = pn
-            elif ax == 1:
-                py = pn
-            else:
-                pz = pn
+          for ax in range(3):
+              m = crossing & (axis == ax)
+              pp = (px, py, pz)[ax]
+              dd = (dirx, diry, dirz)[ax]
+              pn = jnp.where(m, dd, pp)
+              if ax == 0:
+                  px = pn
+              elif ax == 1:
+                  py = pn
+              else:
+                  pz = pn
 
-        # Face handling: reflect at global walls bounces in place; other
-        # crossings move one chart cell (chart exits and non-reflect walls
-        # were pre-flagged; stray ULP cases park at the face).
-        for ax in range(3):
-            m = crossing & (axis == ax)
-            n_ax = (g.nx, g.ny, g.nz)[ax]
-            d = (dirx, diry, dirz)[ax]
-            up = d > 0
-            lc = lcs[ax]
-            gc = gcs[ax]
-            refl_lo = _eff_bc(g, ax, -1) == REFLECT_PARTICLES
-            refl_hi = _eff_bc(g, ax, 1) == REFLECT_PARTICLES
-            bounce = m & ((jnp.full_like(m, refl_lo) & ~up & (gc == 1))
-                          | (jnp.full_like(m, refl_hi) & up & (gc == n_ax)))
-            newl = jnp.where(up, lc + 1, lc - 1)
-            exit_chart = m & ~bounce & ((newl < 0) | (newl > C3 - 1))
-            move = m & ~bounce & ~exit_chart
-            step1 = jnp.where(up, 1, -1)
-            lcs[ax] = jnp.where(move, lc + step1, lc)
-            gcs[ax] = jnp.where(move, gc + step1, gc)
-            if ax == 0:
-                px = jnp.where(move, -px, px)
-                ux = jnp.where(bounce, -ux, ux)
-                dpx = jnp.where(bounce, -dpx, jnp.where(exit_chart, 0.0,
-                                                        dpx))
-            elif ax == 1:
-                py = jnp.where(move, -py, py)
-                uy = jnp.where(bounce, -uy, uy)
-                dpy = jnp.where(bounce, -dpy, jnp.where(exit_chart, 0.0,
-                                                        dpy))
-            else:
-                pz = jnp.where(move, -pz, pz)
-                uz = jnp.where(bounce, -uz, uz)
-                dpz = jnp.where(bounce, -dpz, jnp.where(exit_chart, 0.0,
-                                                        dpz))
+          # Face handling: reflect at global walls bounces in place; other
+          # crossings move one chart cell (chart exits and non-reflect
+          # walls were pre-flagged; stray ULP cases park at the face).
+          for ax in range(3):
+              m = crossing & (axis == ax)
+              n_ax = (g.nx, g.ny, g.nz)[ax]
+              d = (dirx, diry, dirz)[ax]
+              up = d > 0
+              lc = lcs[ax]
+              gc = gcs[ax]
+              refl_lo = _eff_bc(g, ax, -1) == REFLECT_PARTICLES
+              refl_hi = _eff_bc(g, ax, 1) == REFLECT_PARTICLES
+              bounce = m & ((jnp.full_like(m, refl_lo) & ~up & (gc == 1))
+                            | (jnp.full_like(m, refl_hi) & up
+                               & (gc == n_ax)))
+              newl = jnp.where(up, lc + 1, lc - 1)
+              exit_chart = m & ~bounce & ((newl < 0) | (newl > C3 - 1))
+              move = m & ~bounce & ~exit_chart
+              step1 = jnp.where(up, 1, -1)
+              lcs[ax] = jnp.where(move, lc + step1, lc)
+              gcs[ax] = jnp.where(move, gc + step1, gc)
+              if ax == 0:
+                  px = jnp.where(move, -px, px)
+                  ux = jnp.where(bounce, -ux, ux)
+                  dpx = jnp.where(bounce, -dpx,
+                                  jnp.where(exit_chart, 0.0, dpx))
+              elif ax == 1:
+                  py = jnp.where(move, -py, py)
+                  uy = jnp.where(bounce, -uy, uy)
+                  dpy = jnp.where(bounce, -dpy,
+                                  jnp.where(exit_chart, 0.0, dpy))
+              else:
+                  pz = jnp.where(move, -pz, pz)
+                  uz = jnp.where(bounce, -uz, uz)
+                  dpz = jnp.where(bounce, -dpz,
+                                  jnp.where(exit_chart, 0.0, dpz))
+
+      if not resident:
+          adma_out = pltpu.make_async_copy(
+              acc_scratch, acc_ref.at[pl.ds(s16, 16 * H), :], acc_sem)
+          adma_out.start()
+          adma_out.wait()
+
+      # write back canonical voxel (wrap periodic axes; non-periodic walks
+      # cannot leave [1, n] by construction)
+      gxn, gyn, gzn = gcs
+      if _eff_bc(g, 0, -1) == P_PERIODIC and g.topology[0] == 1:
+          gxn = (gxn - 1) % g.nx + 1
+      if _eff_bc(g, 1, -1) == P_PERIODIC and g.topology[1] == 1:
+          gyn = (gyn - 1) % g.ny + 1
+      if _eff_bc(g, 2, -1) == P_PERIODIC and g.topology[2] == 1:
+          gzn = (gzn - 1) % g.nz + 1
+      vox_new = gxn + g.NX * (gyn + g.NY * gzn)
+      opk_ref[0, :] = jnp.where(safe, px, dx)
+      opk_ref[1, :] = jnp.where(safe, py, dy)
+      opk_ref[2, :] = jnp.where(safe, pz, dz)
+      opk_ref[3, :] = jnp.where(safe, vox_new, vox).astype(jnp.float32)
+      opk_ref[4, :] = jnp.where(safe, ux, pk_ref[4, :])
+      opk_ref[5, :] = jnp.where(safe, uy, pk_ref[5, :])
+      opk_ref[6, :] = jnp.where(safe, uz, pk_ref[6, :])
+      opk_ref[7, :] = jnp.where(entry_flag, 1.0, 0.0)
 
     if resident:
         @pl.when(bnum == pl.num_programs(0) - 1)
@@ -477,101 +565,126 @@ def _kernel3d(g: Grid, qsp, msp, max_streak, P, nbx, nby, nbz, resident,
             adma_out = pltpu.make_async_copy(acc_scratch, acc_ref, acc_sem)
             adma_out.start()
             adma_out.wait()
-    else:
-        adma_out = pltpu.make_async_copy(
-            acc_scratch, acc_ref.at[:, pl.ds(w0, V)], acc_sem)
-        adma_out.start()
-        adma_out.wait()
-
-    # write back canonical voxel (wrap periodic axes; non-periodic walks
-    # cannot leave [1, n] by construction)
-    gxn, gyn, gzn = gcs
-    if _eff_bc(g, 0, -1) == P_PERIODIC and g.topology[0] == 1:
-        gxn = (gxn - 1) % g.nx + 1
-    if _eff_bc(g, 1, -1) == P_PERIODIC and g.topology[1] == 1:
-        gyn = (gyn - 1) % g.ny + 1
-    if _eff_bc(g, 2, -1) == P_PERIODIC and g.topology[2] == 1:
-        gzn = (gzn - 1) % g.nz + 1
-    vox_new = gxn + g.NX * (gyn + g.NY * gzn)
-    odx_ref[:] = jnp.where(safe, px, dx)
-    ody_ref[:] = jnp.where(safe, py, dy)
-    odz_ref[:] = jnp.where(safe, pz, dz)
-    ovox_ref[:] = jnp.where(safe, vox_new, vox)
-    oux_ref[:] = jnp.where(safe, ux, ux_ref[:])
-    ouy_ref[:] = jnp.where(safe, uy, uy_ref[:])
-    ouz_ref[:] = jnp.where(safe, uz, uz_ref[:])
-    oflag_ref[:] = jnp.where(entry_flag, 1, 0)
 
 
-@functools.partial(jax.jit, static_argnames=("g", "qsp", "msp",
+@functools.partial(jax.jit, static_argnames=("g", "qsps", "msps",
                                              "max_streak", "block"))
-def _run3d(sp: SpeciesState, tab_chart, acc_chart, g: Grid, qsp, msp,
+def _run3d(sps, tab_chart, acc_chart, g: Grid, qsps, msps,
            max_streak=4, block=1024):
-    N = sp.capacity
-    Np = _round_up(N, block)
-    nblocks = Np // block
+    """All species through ONE 3-D kernel launch: block-aligned species
+    segments concatenated, per-block q/m via scalar prefetch, lane state
+    packed (see ops/pallas_push._run).  Table and accumulator are
+    relayouted h-major (chart_h*rows + r, 128) outside the kernel so a
+    chart is a contiguous sublane slice for streamed windows."""
+    sps = tuple(sps)
     nbx, nby, nbz = _nb(g)
     nvp = tab_chart.shape[1]
-    _, resident, _ = vmem_plan(nvp, S, dense=True)
+    H = S // 128
+    nvh = nvp // 128
+    # block is pinned to the sort quantum (1024); resident chart tables
+    # when they + the factorized transients fit VMEM
+    from .pallas_push import RESIDENT_VMEM_BUDGET
+    tabs = (24 + 16) * nvp * 4
+    trans = block * (264 * H + 648)
+    resident = (tabs <= RESIDENT_VMEM_BUDGET
+                and tabs + trans <= (14 << 20))
 
-    def pad(a, fill=0):
-        return jnp.pad(a, (0, Np - N), constant_values=fill)
+    cols = {k: [] for k in ("dx", "dy", "dz", "vox", "ux", "uy", "uz",
+                            "w", "live")}
+    w0s, nls, qd2s, qws, Nps = [], [], [], [], []
+    for sp, qsp, msp in zip(sps, qsps, msps):
+        N = sp.capacity
+        Np = _round_up(N, block)
+        Nps.append(Np)
+        nb = Np // block
+        pad = lambda a: jnp.pad(a, (0, Np - N))
+        vox = pad(sp.i)
+        live = pad(sp.live.astype(jnp.int32))
+        cols["dx"].append(pad(sp.dx))
+        cols["dy"].append(pad(sp.dy))
+        cols["dz"].append(pad(sp.dz))
+        cols["vox"].append(vox.astype(jnp.float32))
+        cols["ux"].append(pad(sp.ux))
+        cols["uy"].append(pad(sp.uy))
+        cols["uz"].append(pad(sp.uz))
+        cols["w"].append(pad(sp.w))
+        cols["live"].append(live.astype(jnp.float32))
 
-    dx, dy, dz = pad(sp.dx), pad(sp.dy), pad(sp.dz)
-    vox = pad(sp.i)
-    ux, uy, uz, w = pad(sp.ux), pad(sp.uy), pad(sp.uz), pad(sp.w)
-    live = pad(sp.live.astype(jnp.int32))
+        # every block maps to the brick of its median live lane (the
+        # quantized sort makes blocks single-brick; tight-packed fallback
+        # blocks just flag their minority lanes)
+        livb = live.reshape(nb, block)
+        vb = vox.reshape(nb, block)
+        nlive = jnp.sum(livb, axis=1)
+        mid = jnp.take_along_axis(
+            vb, jnp.clip(nlive // 2, 0, block - 1)[:, None], 1)[:, 0]
+        w0s.append(jnp.clip(brick_of(mid, g) * S, 0, nvp - S))
+        nls.append(nlive)
+        qd2s.append(jnp.full((nb,), (qsp * g.dt) / (2.0 * msp * g.cvac),
+                             jnp.float32))
+        qws.append(jnp.full((nb,), qsp, jnp.float32))
 
-    # every block maps to the brick of its median live lane (the quantized
-    # sort makes blocks single-brick; tight-packed fallback blocks just
-    # flag their minority lanes)
-    livb = live.reshape(nblocks, block)
-    vb = vox.reshape(nblocks, block)
-    nlive = jnp.sum(livb, axis=1)
-    mid = jnp.take_along_axis(
-        vb, jnp.clip(nlive // 2, 0, block - 1)[:, None], 1)[:, 0]
-    w0 = jnp.clip(brick_of(mid, g) * S, 0, nvp - S)
+    cat = lambda xs: xs[0] if len(xs) == 1 else jnp.concatenate(xs)
+    order = ("dx", "dy", "dz", "vox", "ux", "uy", "uz", "w", "live")
+    pk = jnp.stack([cat(cols[k]) for k in order])       # (9, Ntot)
+    w0, nlive = cat(w0s), cat(nls)
+    qd2, qw = cat(qd2s), cat(qws)
+    Ntot = sum(Nps)
+    nblocks = Ntot // block
+
+    # h-major row layouts (see ops/pallas_push._run)
+    tab3 = tab_chart.reshape(24, nvh, 128).transpose(1, 0, 2).reshape(
+        nvh * 24, 128)
+    acc3 = acc_chart.reshape(16, nvh, 128).transpose(1, 0, 2).reshape(
+        nvh * 16, 128)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=1,
+        num_scalar_prefetch=4,
         grid=(nblocks,),
-        in_specs=[pl.BlockSpec((block,), lambda b, w0: (b,))] * 9
+        in_specs=[pl.BlockSpec((9, block), lambda b, *_: (0, b))]
         + [pl.BlockSpec(memory_space=pltpu.ANY),
            pl.BlockSpec(memory_space=pltpu.ANY)],
-        out_specs=[pl.BlockSpec((block,), lambda b, w0: (b,))] * 8
+        out_specs=[pl.BlockSpec((8, block), lambda b, *_: (0, b))]
         + [pl.BlockSpec(memory_space=pltpu.ANY),
-           pl.BlockSpec((1, 1), lambda b, w0: (0, 0),
+           pl.BlockSpec((1, 1), lambda b, *_: (0, 0),
                         memory_space=pltpu.SMEM)],
         scratch_shapes=[pltpu.SemaphoreType.DMA, pltpu.SemaphoreType.DMA,
-                        pltpu.VMEM((24, nvp if resident else S),
+                        pltpu.VMEM((nvh * 24 if resident else 24 * H, 128),
                                    jnp.float32),
-                        pltpu.VMEM((16, nvp if resident else S),
+                        pltpu.VMEM((nvh * 16 if resident else 16 * H, 128),
                                    jnp.float32)],
     )
-    kernel = functools.partial(_kernel3d, g, qsp, msp, max_streak, block,
+    kernel = functools.partial(_kernel3d, g, max_streak, block,
                                nbx, nby, nbz, resident)
-    out_shapes = ([jax.ShapeDtypeStruct((Np,), jnp.float32)] * 3
-                  + [jax.ShapeDtypeStruct((Np,), jnp.int32)]
-                  + [jax.ShapeDtypeStruct((Np,), jnp.float32)] * 3
-                  + [jax.ShapeDtypeStruct((Np,), jnp.int32)]
-                  + [jax.ShapeDtypeStruct((16, nvp), jnp.float32),
-                     jax.ShapeDtypeStruct((1, 1), jnp.int32)])
+    out_shapes = [jax.ShapeDtypeStruct((8, Ntot), jnp.float32),
+                  jax.ShapeDtypeStruct((nvh * 16, 128), jnp.float32),
+                  jax.ShapeDtypeStruct((1, 1), jnp.int32)]
     interpret = jax.devices()[0].platform != "tpu"
     outs = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
         out_shape=out_shapes,
         interpret=interpret,
-        input_output_aliases={11: 8},
+        input_output_aliases={6: 1},
         compiler_params=None if interpret else pltpu.CompilerParams(
             dimension_semantics=("arbitrary",)),
-    )(w0, dx, dy, dz, vox, ux, uy, uz, w, live, tab_chart, acc_chart)
+    )(w0, nlive, qd2, qw, pk, tab3, acc3)
 
-    (odx, ody, odz, ovox, oux, ouy, ouz, oflag, acc_out, oow) = outs
-    new_sp = sp.replace(dx=odx[:N], dy=ody[:N], dz=odz[:N],
-                        i=jnp.where(sp.live, ovox[:N], sp.i),
-                        ux=oux[:N], uy=ouy[:N], uz=ouz[:N])
-    return new_sp, acc_out, oflag[:N], oow[0, 0]
+    (opk, acc3_out, oow) = outs
+    acc_out = acc3_out.reshape(nvh, 16, 128).transpose(1, 0, 2).reshape(
+        16, nvp)
+    ovox_all = opk[3].astype(jnp.int32)
+    new_sps, oflags, off = [], [], 0
+    for sp, Np in zip(sps, Nps):
+        N = sp.capacity
+        sl = slice(off, off + N)
+        new_sps.append(sp.replace(
+            dx=opk[0, sl], dy=opk[1, sl], dz=opk[2, sl],
+            i=jnp.where(sp.live, ovox_all[sl], sp.i),
+            ux=opk[4, sl], uy=opk[5, sl], uz=opk[6, sl]))
+        oflags.append((opk[7, sl] > 0.5).astype(jnp.int32))
+        off += Np
+    return new_sps, acc_out, oflags, oow[0, 0]
 
 
 def fused_push3d(sp: SpeciesState, tab_chart, acc_chart, g: Grid,
@@ -579,5 +692,18 @@ def fused_push3d(sp: SpeciesState, tab_chart, acc_chart, g: Grid,
                  block: int = 1024):
     """One species push through the 3-D brick-chart kernel (canonical
     voxel indices in and out).  Returns (species, acc_chart, oflag, oow)."""
-    return _run3d(sp, tab_chart, acc_chart, g, float(qsp), float(msp),
+    sps, acc, oflags, oow = _run3d((sp,), tab_chart, acc_chart, g,
+                                   (float(qsp),), (float(msp),),
+                                   max_streak, block)
+    return sps[0], acc, oflags[0], oow
+
+
+def fused_push3d_multi(sps, tab_chart, acc_chart, g: Grid, qms,
+                       max_streak: int = 4, block: int = 1024):
+    """All species through ONE 3-D brick-chart launch; ``qms`` is a
+    sequence of (charge, mass).  Returns (species_list, acc_chart,
+    oflag_list, oow)."""
+    return _run3d(tuple(sps), tab_chart, acc_chart, g,
+                  tuple(float(q) for q, _ in qms),
+                  tuple(float(m) for _, m in qms),
                   max_streak, block)
