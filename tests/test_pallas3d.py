@@ -119,3 +119,95 @@ def test_fused3d_sharded_matches_xla():
     (e0, n0), (e1, n1) = outs
     assert n0 == n1
     assert np.abs(e0 - e1).max() / np.abs(e0).max() < 2e-5
+
+
+def build2d(mode, walls=False):
+    """2-D deck on a chart-compatible grid (nx%16, ny%8, ny >= 24)."""
+    sim = vt.Simulation(seed=6)
+    sim.define_units(1.0, 1.0)
+    nx, ny = 32, 24
+    g0 = vt.partition_periodic_box(0, 0, 0, 1, 0.75, 1 / 32, nx, ny, 1)
+    sim.define_timestep(0.6 * g0.courant_length())
+    sim.define_periodic_grid((0, 0, 0), (1, 0.75, 1 / 32), (nx, ny, 1))
+    if walls:
+        sim.set_domain_field_bc(vt.BOUNDARY(-1, 0, 0), vt.PEC)
+        sim.set_domain_field_bc(vt.BOUNDARY(1, 0, 0), vt.PEC)
+        sim.set_domain_particle_bc(vt.BOUNDARY(-1, 0, 0),
+                                   vt.REFLECT_PARTICLES)
+        sim.set_domain_particle_bc(vt.BOUNDARY(1, 0, 0),
+                                   vt.ABSORB_PARTICLES)
+    sim.define_material("vacuum", 1.0)
+    sim.define_field_array(damp=0.0)
+    el = sim.define_species("e", -1.0, 1.0, 12000, -1, 4, 1)
+    rng = np.random.default_rng(1)
+    for k in range(4000):
+        sim.inject_particle(el, rng.uniform(0.01, 0.99),
+                            rng.uniform(0.01, 0.74), 1 / 64,
+                            *rng.normal(0, 0.4, 3), 1.0)
+    sim.set_region_field(vt.everywhere,
+                         ey=lambda x, y, z: 0.05 * np.cos(2 * np.pi * x),
+                         bz=lambda x, y, z: 0.05 * np.cos(2 * np.pi * x))
+    if mode == "chart":
+        sim.use_pallas = True
+        sim.pallas_chart2d = True
+    elif mode == "general":
+        sim.use_pallas = False
+    return sim
+
+
+def test_chart2d_dims():
+    sim = build2d("general")
+    B, HAL, C, S, used = PP3.chart_dims(sim.grid)
+    assert B == (16, 8, 1) and C == (32, 24, 1) and S == 768 == used
+    assert PP3.supports3d(sim.grid, 12000)
+    # too-small ny for a full chart
+    g2 = vt.partition_periodic_box(0, 0, 0, 1, 1, 1, 32, 16, 1)
+    assert not PP3.supports3d(g2)
+
+
+def test_chart2d_adjoint():
+    """to_chart_T / fold_chart_acc with deep halos are exact adjoints:
+    folding an all-ones chart returns each cell's chart multiplicity, and
+    a random table round-trips."""
+    sim = build2d("general")
+    g = sim.grid
+    rng = np.random.default_rng(0)
+    nvp = ((g.nv + 127) // 128) * 128
+    flat = jnp.asarray(rng.normal(size=(2, nvp)).astype(np.float32))
+    chart = PP3.to_chart_T(flat, g)
+    # gather-scatter consistency: fold(chart == broadcast of flat) sums
+    # each canonical interior cell exactly its multiplicity times
+    ones = PP3.to_chart_T(jnp.ones((1, nvp)), g)
+    folded = PP3.fold_chart_acc(ones, g).reshape(g.NZ, g.NY, g.NX)
+    B, HAL, C, S, used = PP3.chart_dims(g)
+    # interior z=1 plane: every cell appears in (Cx/Bx)*(Cy/By) charts
+    mult = (C[0] // B[0]) * (C[1] // B[1])
+    # every chart lane folds exactly once -- onto an interior cell, a
+    # wrapped interior cell (deep-halo layers), or a canonical ghost
+    # (layer-1 halo; folded downstream by fold_ghost_acc_T)
+    assert int(folded.sum()) == PP3.nbricks(g) * used
+    assert folded[1, 1:-1, 1:-1].max() >= mult
+    assert float(np.abs(folded[0]).max()) == 0.0   # z ghosts untouched
+
+
+@pytest.mark.slow
+@pytest.mark.parametrize("walls", [False, True])
+def test_chart2d_matches_general(walls):
+    outs = []
+    for mode in ("general", "chart"):
+        sim = build2d(mode, walls)
+        state = sim.initialize()
+        adv = jax.jit(sim.make_advance())
+        for _ in range(4):
+            state = adv(state)
+        outs.append((sim, state))
+    (simg, sg), (simc, sc) = outs
+    eg = np.asarray(simg.energies(sg))
+    ec = np.asarray(simc.energies(sc))
+    np.testing.assert_allclose(ec, eg, rtol=2e-4, atol=1e-6 * eg.max())
+    lg = np.asarray(sg.species[0].live)
+    lc = np.asarray(sc.species[0].live)
+    assert lg.sum() == lc.sum()
+    ig = np.sort(np.asarray(sg.species[0].i)[lg])
+    ic = np.sort(np.asarray(sc.species[0].i)[lc])
+    assert np.array_equal(ig, ic)

@@ -98,6 +98,9 @@ class Simulation:
         # ~2.8 ms bucket sort amortizes further (sortK 8 measured optimal:
         # 100 vs 67 M/s at sortK 4 on harris 64^2x64)
         self.pallas_sort_interval = 8
+        # 2-D brick charts ("auto" = only where the window kernel's
+        # NX-proportional window gets fat; see make_advance)
+        self.pallas_chart2d = "auto"
         # User hooks (deck sections): callables state -> state pieces.
         self.user_field_injection = None      # (FieldState, step) -> FieldState
         self.user_current_injection = None    # (FieldState, step) -> FieldState
@@ -800,11 +803,23 @@ class Simulation:
         # routine CPU testing: auto-enable on TPU only; use_pallas=True
         # forces it anywhere (the dedicated parity tests do)
         on_tpu = jax.devices()[0].platform == "tpu"
-        # per-voxel BC surfaces: 2-D fused kernel pre-flags via the table
-        # mark row; the 3-D chart kernel doesn't carry the row yet, so
-        # such decks take the general XLA path in 3-D
-        fused3 = PP3.supports3d(g, max_cap) and (
-            on_tpu or self.use_pallas is True) and self._vbc is None
+        # per-voxel BC surfaces: the 2-D window kernel pre-flags via the
+        # table mark row; the chart kernel doesn't carry the row yet, so
+        # such decks take the window kernel (2-D) / general path (3-D)
+        chart_ok = PP3.supports3d(g, max_cap) and self._vbc is None
+        if g.nz > 1:
+            fused3 = chart_ok and (on_tpu or self.use_pallas is True)
+        else:
+            # 2-D chart-vs-window policy: charts keep the per-block
+            # voxel footprint at 768 lanes regardless of NX, while the
+            # window kernel's window grows ~ NX * sortK; cut over when
+            # the window would exceed the chart size by 2x ("auto"),
+            # or force with pallas_chart2d=True/False.
+            want = self.pallas_chart2d
+            wide = (PP.pick_window(g, max(1, self.pallas_sort_interval))
+                    > 1536)
+            fused3 = chart_ok and (
+                want is True or (want == "auto" and wide and on_tpu))
         fused2 = (not fused3) and PP.supports(g, max_cap)
         if self.use_pallas == "auto":
             use_fused = fused2 or fused3
@@ -812,10 +827,16 @@ class Simulation:
             use_fused = bool(self.use_pallas) and (fused2 or fused3)
         sortK = max(1, self.pallas_sort_interval)
         if fused3:
-            # sorting every step makes chart exits impossible (<= 1
-            # face crossing per axis per step) -> zero outlier churn;
-            # measured 33.1 vs 16.5 Mpush/s at sortK 1 vs 2 on 32^3
-            sortK = 1
+            if g.nz > 1:
+                # 1-deep halos: sorting every step makes chart exits
+                # impossible (<= 1 face crossing per axis per step) ->
+                # zero outlier churn; measured 33.1 vs 16.5 Mpush/s at
+                # sortK 1 vs 2 on 32^3
+                sortK = 1
+            else:
+                # 2-D charts carry CH2_HALO-deep halos: the brick sort
+                # only has to outrun the halo
+                sortK = min(sortK, PP3.CH2_HALO)
 
 
         def advance(state: SimState) -> SimState:
@@ -851,10 +872,13 @@ class Simulation:
                 # Wall crossers (absorb/custom faces) are pre-flagged by
                 # the kernel and replayed exactly by outlier_pass.
                 if fused3:
-                    # 3-D brick-chart kernel: canonical table + chart copy
+                    # brick-chart kernel: canonical table + chart copy
+                    # (2-D charts skip the unwrapped-y image expansion:
+                    # charts wrap y through their own halos)
                     window = PP.DEF_WINDOW
                     nvp = PP.table_width(g, window)
-                    fcoef_T = I.load_interpolator_T(f, g, nvp)
+                    fcoef_T = I.load_interpolator_T(f, g, nvp,
+                                                    y_images=g.nz > 1)
                     tab_chart = PP3.to_chart_T(fcoef_T, g)
                     acc_T = jnp.zeros((16, PP3.chart_width(g)), jnp.float32)
                 else:

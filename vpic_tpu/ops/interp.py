@@ -85,7 +85,8 @@ def load_interpolator(f: FieldState, g: Grid):
     return coeffs.reshape(g.nv, 18)
 
 
-def load_interpolator_T(f: FieldState, g: Grid, nvp: int, mark=None):
+def load_interpolator_T(f: FieldState, g: Grid, nvp: int, mark=None,
+                        y_images: bool = True):
     """Transposed-layout coefficient table (24, nvp; rows 0-17 used) for the
     fused Pallas
     push: voxel index on the TPU lane dimension; built directly (component-
@@ -154,7 +155,7 @@ def load_interpolator_T(f: FieldState, g: Grid, nvp: int, mark=None):
         out = jnp.pad(flat, ((0, 0), (0, nvp - g.nv)))
     else:
         out = jnp.pad(flat, ((0, 6), (0, nvp - g.nv)))
-    if g.nz == 1 and periodic[1]:
+    if g.nz == 1 and periodic[1] and y_images:
         # Unwrapped-y scheme (see ops/pallas_push.py): the z=0 / z=2 plane
         # thirds hold periodic y-image copies of the z=1 plane so walks can
         # continue past the y ghost layer without leaving the window.

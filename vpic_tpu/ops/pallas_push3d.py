@@ -50,31 +50,54 @@ from ..state import SpeciesState
 from .push import BIG, ONE_THIRD, TWO_FIFTEENTHS
 from .pallas_push import _eff_bc, _hilo_dot, _round_up, vmem_plan
 
-B3 = 8                      # brick side (cells)
-C3 = B3 + 2                 # chart side (cells incl 1-deep halo)
-S_USED = C3 * C3 * C3       # 1000
-S = 1024                    # chart lanes (padded)
+B3 = 8                      # 3-D brick side (cells)
+CH2_B = (16, 8, 1)          # 2-D brick dims (x, y, z cells)
+CH2_HALO = 8                # 2-D halo depth = max sort staleness (steps)
+
+
+def chart_dims(g: Grid):
+    """Per-axis chart geometry: (brick B, halo H, chart C, padded lane
+    count S, used lanes).  3-D grids tile 8^3 bricks with a 1-deep halo
+    (1000 -> 1024 lanes, re-sorted every step); 2-D (nz == 1) grids tile
+    16x8 bricks with an 8-deep halo (32x24 = 768 lanes exactly), so the
+    brick sort only needs to run every <= 8 steps and the chart size is
+    independent of NX -- the fix for the window kernel's NX-proportional
+    windows at large grids."""
+    if g.nz > 1:
+        B = (B3, B3, B3)
+        HAL = (1, 1, 1)
+    else:
+        B = CH2_B
+        HAL = (CH2_HALO, CH2_HALO, 0)
+    C = tuple(b + 2 * h if n > 1 else 1
+              for b, h, n in zip(B, HAL, (g.nx, g.ny, g.nz)))
+    used = C[0] * C[1] * C[2]
+    S = _round_up(used, 128)
+    return B, HAL, C, S, used
 
 
 def supports3d(g: Grid, max_capacity: int = 0) -> bool:
-    """Brick charts need every axis divisible by the brick side; particle
-    counts must stay below 2^24 per species (the sort's exact-f32 bound).
-    All particle BCs are allowed (reflect in-kernel; periodic via halo
-    copies; absorb/custom/remote pre-flagged like the 2-D kernel)."""
-    if g.nz <= 1:
-        return False
-    for n in (g.nx, g.ny, g.nz):
-        # divisible bricks; >= 2 bricks per axis so the nearest-image
-        # wrap in the kernel's canonical->chart mapping is unambiguous
-        if n % B3 or n < 2 * B3:
+    """Brick charts need every axis divisible by the brick side, at least
+    one full chart per periodic axis (nearest-image wrap unambiguity),
+    and particle counts below 2^24 per species (the sort's exact-f32
+    bound).  All particle BCs are allowed (reflect in-kernel; periodic
+    via halo copies; absorb/custom/remote pre-flagged like the window
+    kernel).  Covers 3-D grids AND 2-D (nz == 1) grids in the 16x8
+    deep-halo tiling."""
+    B, HAL, C, S, used = chart_dims(g)
+    for n, b, c in zip((g.nx, g.ny, g.nz), B, C):
+        if n <= 1 and b == 1:
+            continue
+        if n % b or n < c:
             return False
     if max_capacity and max_capacity >= (1 << 24):
         return False
-    return g.nv >= 4096
+    return g.nv >= 1024
 
 
 def _nb(g: Grid) -> Tuple[int, int, int]:
-    return g.nx // B3, g.ny // B3, g.nz // B3
+    B, _, _, _, _ = chart_dims(g)
+    return g.nx // B[0], g.ny // B[1], max(g.nz // B[2], 1)
 
 
 def nbricks(g: Grid) -> int:
@@ -83,54 +106,124 @@ def nbricks(g: Grid) -> int:
 
 
 def chart_width(g: Grid) -> int:
-    return nbricks(g) * S
+    return nbricks(g) * chart_dims(g)[3]
+
+
+def _extend_axis(a, aa, ax, g: Grid, h: int):
+    """Extend array axis ``aa`` (grid axis ``ax``) so index j maps to
+    canonical cell j - h + 1: for halo depth h the extension adds h-1
+    layers beyond the 1-deep canonical ghost on each side -- periodic
+    wraps of the interior, zeros otherwise (never read: lanes cannot
+    reside past a non-periodic wall)."""
+    if h <= 1:
+        return a
+    n = (g.nx, g.ny, g.nz)[ax]
+    from .pallas_push import _eff_bc
+    if _eff_bc(g, ax, -1) == P_PERIODIC and g.topology[ax] == 1:
+        lo = jax.lax.slice_in_dim(a, n + 2 - h, n + 1, axis=aa)
+        hi = jax.lax.slice_in_dim(a, 1, h, axis=aa)
+    else:
+        shp = list(a.shape)
+        shp[aa] = h - 1
+        lo = jnp.zeros(shp, a.dtype)
+        hi = jnp.zeros(shp, a.dtype)
+    return jnp.concatenate([lo, a, hi], axis=aa)
 
 
 def to_chart_T(flat_T, g: Grid):
     """(rows, >=nv) canonical flat table -> (rows, nbricks*S) chart table
-    via static sliced stacks (dense; no gathers).  The canonical table's
-    ghost layers must already hold the right values (periodic wrap or
-    zeros), which ops/interp.load_interpolator_T guarantees."""
+    via static sliced stacks (dense; no gathers).  Halo layer 1 comes
+    from the canonical ghosts (which already hold BC-correct values,
+    ops/interp.load_interpolator_T); deeper halo layers come from
+    periodic-wrap extensions built here."""
+    B, HAL, C, S, used = chart_dims(g)
     nbx, nby, nbz = _nb(g)
     rows = flat_T.shape[0]
     a = flat_T[:, :g.nv].reshape(rows, g.NZ, g.NY, g.NX)
-    a = jnp.stack([a[:, i * B3:i * B3 + C3] for i in range(nbz)], axis=1)
-    a = jnp.stack([a[:, :, :, j * B3:j * B3 + C3] for j in range(nby)],
-                  axis=2)                     # (R, nbz, nby, cz, cy, NX)
-    a = jnp.stack([a[..., k * B3:k * B3 + C3] for k in range(nbx)],
-                  axis=3)                     # (R, nbz, nby, nbx, cz, cy, cx)
-    a = a.reshape(rows, nbricks(g), S_USED)
-    return jnp.pad(a, ((0, 0), (0, 0), (0, S - S_USED))).reshape(rows, -1)
+    a = _extend_axis(a, 1, 2, g, HAL[2])
+    a = _extend_axis(a, 2, 1, g, HAL[1])
+    a = _extend_axis(a, 3, 0, g, HAL[0])
+    # slice per brick: cell range [k*b + 1 - h, k*b + b + h + 1) is the
+    # extended-index range [k*b + off, k*b + off + C) with off = 0 for
+    # h >= 1 (ext j = cell + h - 1) and off = 1 for h == 0 (no ghost in
+    # the chart: local 0 IS interior cell k*b + 1)
+    off = [1 if h == 0 else 0 for h in HAL]
+    a = jnp.stack([jax.lax.slice_in_dim(
+        a, i * B[2] + off[2], i * B[2] + off[2] + C[2], axis=1)
+        for i in range(nbz)], axis=1)
+    a = jnp.stack([jax.lax.slice_in_dim(
+        a, j * B[1] + off[1], j * B[1] + off[1] + C[1], axis=3)
+        for j in range(nby)], axis=2)
+    a = jnp.stack([jax.lax.slice_in_dim(
+        a, k * B[0] + off[0], k * B[0] + off[0] + C[0], axis=5)
+        for k in range(nbx)], axis=3)   # (R, nbz, nby, nbx, cz, cy, cx)
+    a = a.reshape(rows, nbricks(g), used)
+    return jnp.pad(a, ((0, 0), (0, 0), (0, S - used))).reshape(rows, -1)
 
 
 def fold_chart_acc(acc_chart, g: Grid):
     """Adjoint of to_chart_T for the accumulator: overlapping halo deposits
-    add back onto their canonical ghosted cells.  Returns (rows, NZ*NY*NX)
-    canonical flat; periodic ghost-plane folding happens downstream
+    add back onto their canonical ghosted cells (deep-halo layers fold
+    onto the wrapped interior).  Returns (rows, NZ*NY*NX) canonical flat;
+    the single-ghost-plane folding happens downstream
     (pallas_push.fold_ghost_acc_T works on this layout)."""
+    B, HAL, C, S, used = chart_dims(g)
     nbx, nby, nbz = _nb(g)
     rows = acc_chart.shape[0]
-    a = acc_chart.reshape(rows, nbricks(g), S)[:, :, :S_USED]
-    a = a.reshape(rows, nbz, nby, nbx, C3, C3, C3)
-    ox = jnp.zeros((rows, nbz, nby, C3, C3, g.NX), acc_chart.dtype)
+    a = acc_chart.reshape(rows, nbricks(g), S)[:, :, :used]
+    a = a.reshape(rows, nbz, nby, nbx, C[2], C[1], C[0])
+
+    EX = lambda ax: (g.NX, g.NY, g.NZ)[ax] + 2 * max(HAL[ax] - 1, 0)
+    off = [1 if h == 0 else 0 for h in HAL]
+
+    ox = jnp.zeros((rows, nbz, nby, C[2], C[1], EX(0)), acc_chart.dtype)
     for k in range(nbx):
-        ox = ox.at[..., k * B3:k * B3 + C3].add(a[:, :, :, k])
-    oy = jnp.zeros((rows, nbz, C3, g.NY, g.NX), acc_chart.dtype)
+        o = k * B[0] + off[0]
+        ox = ox.at[..., o:o + C[0]].add(a[:, :, :, k])
+    oy = jnp.zeros((rows, nbz, C[2], EX(1), EX(0)), acc_chart.dtype)
     for j in range(nby):
-        oy = oy.at[:, :, :, j * B3:j * B3 + C3, :].add(ox[:, :, j])
-    oz = jnp.zeros((rows, g.NZ, g.NY, g.NX), acc_chart.dtype)
+        o = j * B[1] + off[1]
+        oy = oy.at[:, :, :, o:o + C[1], :].add(ox[:, :, j])
+    oz = jnp.zeros((rows, EX(2), EX(1), EX(0)), acc_chart.dtype)
     for i in range(nbz):
-        oz = oz.at[:, i * B3:i * B3 + C3].add(oy[:, i])
+        o = i * B[2] + off[2]
+        oz = oz.at[:, o:o + C[2]].add(oy[:, i])
+
+    def unextend(a, aa, ax):
+        h = HAL[ax]
+        if h <= 1:
+            return a
+        n = (g.nx, g.ny, g.nz)[ax]
+        from .pallas_push import _eff_bc
+        core = jax.lax.slice_in_dim(a, h - 1, h - 1 + n + 2, axis=aa)
+        if _eff_bc(g, ax, -1) == P_PERIODIC and g.topology[ax] == 1:
+            lo = jax.lax.slice_in_dim(a, 0, h - 1, axis=aa)
+            hi = jax.lax.slice_in_dim(a, h - 1 + n + 2,
+                                      2 * (h - 1) + n + 2, axis=aa)
+            # ext layers [0, h-1) are cells [1-h, -1] -> wrapped interior
+            # cells [n+1-h, n-1]; layers past the core are cells
+            # [n+2, n+h] -> wrapped interior cells [2, h]
+            pad_lo = [(0, 0)] * core.ndim
+            pad_lo[aa] = (n + 1 - h, 2)
+            pad_hi = [(0, 0)] * core.ndim
+            pad_hi[aa] = (2, n + 1 - h)
+            core = core + jnp.pad(lo, pad_lo) + jnp.pad(hi, pad_hi)
+        return core
+
+    oz = unextend(oz, 3, 0)
+    oz = unextend(oz, 2, 1)
+    oz = unextend(oz, 1, 2)
     return oz.reshape(rows, -1)
 
 
 def brick_of(sp_i, g: Grid):
     """Canonical voxel -> home brick id (live-lane use only)."""
+    B, _, _, _, _ = chart_dims(g)
     nbx, nby, nbz = _nb(g)
     zi, r = jnp.divmod(sp_i, g.sz)
     yi, xi = jnp.divmod(r, g.sy)
-    return ((xi - 1) // B3 + nbx * ((yi - 1) // B3
-                                    + nby * ((zi - 1) // B3)))
+    return ((xi - 1) // B[0] + nbx * ((yi - 1) // B[1]
+                                      + nby * ((zi - 1) // B[2])))
 
 
 def brick_sort_p(sp: SpeciesState, g: Grid, quantum: int = 1024):
@@ -214,6 +307,7 @@ def _kernel3d(g: Grid, max_streak, P, nbx, nby, nbz, resident,
     sublane slice.  All species share ONE launch (species-pure blocks
     carry q/m via scalar prefetch) and lane state crosses as one packed
     matrix -- see ops/pallas_push.py for the rationale."""
+    B, HAL, C, S, used = chart_dims(g)
     V = S
     H = V // 128
     bnum = pl.program_id(0)
@@ -286,23 +380,28 @@ def _kernel3d(g: Grid, max_streak, P, nbx, nby, nbz, resident,
       gy = r // g.sy
       gx = r - gy * g.sy
 
-      def rel(gc, base, n_ax, ax):
-          lr = gc - base
-          if _eff_bc(g, ax, -1) == P_PERIODIC and g.topology[ax] == 1:
+      def rel(gc, bcoord, ax):
+          # chart-local: interior cell i of the brick lands at HAL + i
+          # (halo-1 aligns with the canonical +1 ghost offset)
+          lr = gc - bcoord * B[ax] + (HAL[ax] - 1)
+          n_ax = (g.nx, g.ny, g.nz)[ax]
+          if (_eff_bc(g, ax, -1) == P_PERIODIC and g.topology[ax] == 1
+                  and C[ax] > 1):
               # Wrap to the nearest image ONLY when already outside the
-              # chart range [0, C3): at the minimum axis size (n_ax = 2*B3
-              # = 16 < 2*C3 - 1) an ungated wrap would eject genuine chart
-              # cells with lr in (n_ax - C3, C3) every step.
-              lr = jnp.where((lr >= C3) & (lr > n_ax - C3), lr - n_ax, lr)
-              lr = jnp.where((lr < 0) & (lr < -(n_ax - C3)), lr + n_ax, lr)
+              # chart range [0, C) AND the wrapped value is inside it --
+              # unambiguous whenever n_ax >= C (supports3d enforces it).
+              lr = jnp.where((lr >= C[ax]) & (lr - n_ax >= 0),
+                             lr - n_ax, lr)
+              lr = jnp.where((lr < 0) & (lr + n_ax < C[ax]),
+                             lr + n_ax, lr)
           return lr
 
-      lx = rel(gx, BX * B3, g.nx, 0)
-      ly = rel(gy, BY * B3, g.ny, 1)
-      lz = rel(gz, BZ * B3, g.nz, 2)
-      in_chart = (live & (lx >= 0) & (lx < C3) & (ly >= 0) & (ly < C3)
-                  & (lz >= 0) & (lz < C3))
-      loc = lx + C3 * (ly + C3 * lz)
+      lx = rel(gx, BX, 0)
+      ly = rel(gy, BY, 1)
+      lz = rel(gz, BZ, 2)
+      in_chart = (live & (lx >= 0) & (lx < C[0]) & (ly >= 0) & (ly < C[1])
+                  & (lz >= 0) & (lz < C[2]))
+      loc = lx + C[0] * (ly + C[1] * lz)
 
       safe = in_chart
       loc0 = jnp.where(safe, loc, -1)
@@ -367,9 +466,12 @@ def _kernel3d(g: Grid, max_streak, P, nbx, nby, nbz, resident,
           above = p_new > 1.0 - eps
           refl_lo = _eff_bc(g, ax, -1) == REFLECT_PARTICLES
           refl_hi = _eff_bc(g, ax, 1) == REFLECT_PARTICLES
+          Ca = (C[0], C[1], C[2])[ax]
+          if Ca == 1:
+              continue      # degenerate axis (2-D z): wraps in place
           exit_lo = below & (lcoord == 0) & ~(
               jnp.full_like(below, refl_lo) & (gcoord == 1))
-          exit_hi = above & (lcoord == C3 - 1) & ~(
+          exit_hi = above & (lcoord == Ca - 1) & ~(
               jnp.full_like(above, refl_hi) & (gcoord == n_ax))
           flag = flag | exit_lo | exit_hi
           for side, out_m in ((-1, below), (1, above)):
@@ -432,7 +534,7 @@ def _kernel3d(g: Grid, max_streak, P, nbx, nby, nbz, resident,
           zero4 = (jnp.zeros_like(sdx),) * 4
           vals = jnp.stack(jxs + jys + jzs + zero4, axis=0)   # (16, P)
 
-          loc_cur = lcs[0] + C3 * (lcs[1] + C3 * lcs[2])
+          loc_cur = lcs[0] + C[0] * (lcs[1] + C[1] * lcs[2])
 
           def deposit(vals=vals, loc_cur=loc_cur, active=active,
                       reuse=None):
@@ -503,8 +605,16 @@ def _kernel3d(g: Grid, max_streak, P, nbx, nby, nbz, resident,
           for ax in range(3):
               m = crossing & (axis == ax)
               n_ax = (g.nx, g.ny, g.nz)[ax]
+              Ca = (C[0], C[1], C[2])[ax]
               d = (dirx, diry, dirz)[ax]
               up = d > 0
+              if Ca == 1:
+                  # degenerate axis (2-D z, single periodic plane): the
+                  # ghost cell IS the real cell -- cross into the same
+                  # cell from the opposite face
+                  if ax == 2:
+                      pz = jnp.where(m, -pz, pz)
+                  continue
               lc = lcs[ax]
               gc = gcs[ax]
               refl_lo = _eff_bc(g, ax, -1) == REFLECT_PARTICLES
@@ -513,7 +623,7 @@ def _kernel3d(g: Grid, max_streak, P, nbx, nby, nbz, resident,
                             | (jnp.full_like(m, refl_hi) & up
                                & (gc == n_ax)))
               newl = jnp.where(up, lc + 1, lc - 1)
-              exit_chart = m & ~bounce & ((newl < 0) | (newl > C3 - 1))
+              exit_chart = m & ~bounce & ((newl < 0) | (newl > Ca - 1))
               move = m & ~bounce & ~exit_chart
               step1 = jnp.where(up, 1, -1)
               lcs[ax] = jnp.where(move, lc + step1, lc)
@@ -579,6 +689,7 @@ def _run3d(sps, tab_chart, acc_chart, g: Grid, qsps, msps,
     sps = tuple(sps)
     nbx, nby, nbz = _nb(g)
     nvp = tab_chart.shape[1]
+    S = chart_dims(g)[3]
     H = S // 128
     nvh = nvp // 128
     # block is pinned to the sort quantum (1024); resident chart tables
