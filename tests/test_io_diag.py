@@ -267,3 +267,86 @@ def test_field_dump_material_ids_roundtrip(tmp_path):
     # the slab interior really is tagged with the conductor's id
     assert (fields["cmat"] == cond.id).any()
     assert (fields["cmat"] == 0).any()
+
+
+@pytest.mark.slow
+def test_checkpoint_remap_topology(tmp_path):
+    """restart_remap analogue: a checkpoint written under a (1,2,1)
+    decomposition restores onto a single device (and back), with
+    identical global fields (interior + ghost shell), the same particle
+    set (global cells + momenta), and the run continuing stably."""
+    from vpic_tpu import checkpoint as CK
+    from vpic_tpu.models import weibel
+
+    kw = dict(nx=8, ny=8, nppc=8, Lx=8.0, Ly=8.0, seed=3, sort_interval=0)
+    sim2 = weibel.build(weibel.WeibelParams(**kw, topology=(1, 2, 1)))
+    state = sim2.initialize()
+    step = sim2.make_step()
+    for _ in range(4):
+        state = step(state)
+    base = str(tmp_path / "ck")
+    CK.checkpt(state, base, tag="t", sim=sim2)
+
+    # remap (1,2,1) -> (1,1,1)
+    sim1 = weibel.build(weibel.WeibelParams(**kw, topology=(1, 1, 1)))
+    s1 = CK.remap(base + ".t", sim1)
+
+    # global particle multiset must match: (global cell, ux) pairs
+    def lanes(st, g, topo):
+        out = []
+        for sp in st.species:
+            i = np.asarray(sp.i)
+            live = np.asarray(sp.live)
+            ux = np.asarray(sp.ux)
+            if i.ndim > 1:
+                px, py, pz = topo
+                for sx in range(px):
+                    for sy in range(py):
+                        for sz in range(pz):
+                            m = live[sx, sy, sz]
+                            ii = i[sx, sy, sz][m].astype(np.int64)
+                            zi, r = np.divmod(ii, g.sy * (g.ny + 2))
+                            yi, xi = np.divmod(r, g.sy)
+                            gcell = (xi + sx * g.nx) + 1000 * (
+                                yi + sy * g.ny) + 1000000 * (zi + sz * g.nz)
+                            out.append(np.stack(
+                                [gcell.astype(np.float64),
+                                 ux[sx, sy, sz][m]], 1))
+            else:
+                m = live
+                ii = i[m].astype(np.int64)
+                zi, r = np.divmod(ii, g.sy * (g.ny + 2))
+                yi, xi = np.divmod(r, g.sy)
+                gcell = xi + 1000 * yi + 1000000 * zi
+                out.append(np.stack([gcell.astype(np.float64), ux[m]], 1))
+        a = np.concatenate(out)
+        return a[np.lexsort(a.T)]
+
+    la = lanes(state, sim2.grid, (1, 2, 1))
+    lb = lanes(s1, sim1.grid, (1, 1, 1))
+    assert la.shape == lb.shape
+    np.testing.assert_array_equal(la, lb)
+
+    # fields: physical-plane interiors must be bit-identical (ghost-shell
+    # cells are unsynchronized scratch, regenerated by the next sync)
+    exg = np.asarray(state.fields.ex)      # (1,2,1,NZ,NY,NX)
+    ex1 = np.asarray(s1.fields.ex)
+    ny = sim2.grid.ny
+    np.testing.assert_array_equal(ex1[1, 1:1 + ny, 1:-1],
+                                  exg[0, 0, 0][1, 1:-1, 1:-1])
+    np.testing.assert_array_equal(ex1[1, 1 + ny:1 + 2 * ny, 1:-1],
+                                  exg[0, 1, 0][1, 1:-1, 1:-1])
+
+    # the remapped run continues stably
+    step1 = sim1.make_step()
+    s = s1
+    for _ in range(4):
+        s = step1(s)
+    e = np.asarray(sim1.energies(s))
+    assert np.isfinite(e).all()
+
+    # and back up: (1,1,1) checkpoint onto (1,2,1)
+    CK.checkpt(s1, base, tag="u", sim=sim1)
+    s2b = CK.remap(base + ".u", sim2)
+    lc = lanes(s2b, sim2.grid, (1, 2, 1))
+    np.testing.assert_array_equal(lc, lb)

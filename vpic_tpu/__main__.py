@@ -39,6 +39,9 @@ def main(argv=None):
                     "lpi, reconnection)")
     ap.add_argument("--restore", default=None,
                     help="checkpoint fbase.tag to restore from")
+    ap.add_argument("--remap", action="store_true",
+                    help="with --restore: re-decompose the checkpoint "
+                    "onto this deck's topology (restart_remap analogue)")
     ap.add_argument("--modify", default=None,
                     help="ASCII overrides file (num_step, intervals)")
     ap.add_argument("--num-step", type=int, default=None)
@@ -75,7 +78,12 @@ def main(argv=None):
     if args.modify:
         ck.modify(sim, args.modify)
 
-    state = ck.restore(args.restore, sim=sim) if args.restore else None
+    if args.restore and args.remap:
+        state = ck.remap(args.restore, sim)
+    elif args.restore:
+        state = ck.restore(args.restore, sim=sim)
+    else:
+        state = None
     base, interval = None, 0
     if args.checkpt:
         parts = args.checkpt.split(":")

@@ -100,6 +100,169 @@ def restore(fbase_tag: str, sim=None) -> SimState:
                     rng=jnp.asarray(data["rng"]), diag=diag)
 
 
+def remap(fbase_tag: str, sim) -> SimState:
+    """restart_remap analogue (the reference ships an offline tool to
+    re-decompose per-rank restart dumps onto a different rank count):
+    load ``{fbase}.{tag}`` written under ANY topology and rebuild the
+    state for ``sim``'s topology.  The global grid must match; per-shard
+    species capacities come from the new deck.  Fields re-split exactly
+    (interior seams take the neighbor's synchronized values; the global
+    ghost shell is preserved); particle voxel indices are re-derived
+    from global cells; RNG streams re-broadcast (like ranks changing in
+    the reference); diag tallies keep their global sums on shard 0."""
+    data = np.load(fbase_tag + ".npz")
+    with open(fbase_tag + ".json") as fh:
+        cfg = json.load(fh)
+    gg = cfg["grid"]
+    told = tuple(gg["topology"])
+    g = sim.grid
+    tnew = g.topology
+    nxo, nyo, nzo = gg["nx"], gg["ny"], gg["nz"]
+    if (nxo * told[0], nyo * told[1], nzo * told[2]) != (g.gnx, g.gny,
+                                                         g.gnz):
+        raise ValueError("remap: global grid mismatch")
+    sh_old = told != (1, 1, 1)
+    sh_new = g.sharded
+    NXo, NYo, NZo = nxo + 2, nyo + 2, nzo + 2
+    NXn, NYn, NZn = g.NX, g.NY, g.NZ
+
+    def stitch(A):
+        """(px,py,pz,NZo,NYo,NXo) or (NZo,NYo,NXo) -> ghost-extended
+        global (gnz+2, gny+2, gnx+2)."""
+        if not sh_old:
+            return np.asarray(A)
+        A = np.asarray(A)
+        G = np.zeros((g.gnz + 2, g.gny + 2, g.gnx + 2), A.dtype)
+        px, py, pz = told
+        for sx in range(px):
+            for sy in range(py):
+                for sz in range(pz):
+                    G[sz * nzo:sz * nzo + NZo, sy * nyo:sy * nyo + NYo,
+                      sx * nxo:sx * nxo + NXo] = A[sx, sy, sz]
+        # second pass: owners win the interiors (a neighbor's ghost copy
+        # may have clobbered them above; equal for synchronized fields,
+        # but be exact regardless)
+        for sx in range(px):
+            for sy in range(py):
+                for sz in range(pz):
+                    G[1 + sz * nzo:1 + (sz + 1) * nzo,
+                      1 + sy * nyo:1 + (sy + 1) * nyo,
+                      1 + sx * nxo:1 + (sx + 1) * nxo] = \
+                        A[sx, sy, sz][1:-1, 1:-1, 1:-1]
+        return G
+
+    def split(G):
+        if not sh_new:
+            return jnp.asarray(G)
+        px, py, pz = tnew
+        nxn, nyn, nzn = g.nx, g.ny, g.nz
+        out = np.zeros(tnew + (NZn, NYn, NXn), G.dtype)
+        for sx in range(px):
+            for sy in range(py):
+                for sz in range(pz):
+                    out[sx, sy, sz] = G[sz * nzn:sz * nzn + NZn,
+                                        sy * nyn:sy * nyn + NYn,
+                                        sx * nxn:sx * nxn + NXn]
+        return jnp.asarray(out)
+
+    fields = FieldState(**{n: split(stitch(data[f"f.{n}"]))
+                           for n in _FIELDS})
+
+    # ---- species: gather live lanes globally, re-derive voxels ----
+    species = []
+    k = 0
+    while f"sp{k}.dx" in data:
+        cols = {n: np.asarray(data[f"sp{k}.{n}"]) for n in _SP}
+        live = cols["live"].reshape(-1).astype(bool)
+        flat = {n: cols[n].reshape(-1)[live]
+                for n in _SP if n not in ("np",)}
+        if sh_old:
+            # per-lane owning shard from the storage layout
+            px, py, pz = told
+            Nl = cols["dx"].shape[-1]
+            sidx = np.indices((px, py, pz))
+            lane_shard = np.broadcast_to(
+                sidx[:, :, :, :, None], (3, px, py, pz, Nl)
+            ).reshape(3, -1)[:, live]
+        else:
+            lane_shard = np.zeros((3, int(live.sum())), np.int64)
+        i = flat["i"].astype(np.int64)
+        zi, r = np.divmod(i, NXo * NYo)
+        yi, xi = np.divmod(r, NXo)
+        # canonicalize fused-path resident indices (checkpoints store them
+        # raw): unwrapped-y images (nz == 1) and periodic ghost cells
+        if nzo == 1:
+            yu = yi + (zi - 1) * NYo
+            yi = (yu - 1) % nyo + 1
+            zi = np.ones_like(zi)
+        xi = (xi - 1) % nxo + 1
+        yi = (yi - 1) % nyo + 1
+        zi = (zi - 1) % nzo + 1
+        gxi = xi + lane_shard[0] * nxo
+        gyi = yi + lane_shard[1] * nyo
+        gzi = zi + lane_shard[2] * nzo
+        nsx = np.clip((gxi - 1) // g.nx, 0, tnew[0] - 1)
+        nsy = np.clip((gyi - 1) // g.ny, 0, tnew[1] - 1)
+        nsz = np.clip((gzi - 1) // g.nz, 0, tnew[2] - 1)
+        lx = gxi - nsx * g.nx
+        ly = gyi - nsy * g.ny
+        lz = gzi - nsz * g.nz
+        new_i = (lx + NXn * (ly + NYn * lz)).astype(np.int32)
+
+        cap = sim.species[k].params.capacity
+        shp = (tnew + (cap,)) if sh_new else (cap,)
+        out = {n: np.zeros(shp, cols[n].dtype) for n in _SP
+               if n not in ("np",)}
+        out["live"] = np.zeros(shp, bool)
+        counts = np.zeros(tnew, np.int64)
+        order = np.argsort((nsx * tnew[1] + nsy) * tnew[2] + nsz,
+                           kind="stable")
+        for idx in order:
+            sdt = (int(nsx[idx]), int(nsy[idx]), int(nsz[idx]))
+            c = counts[sdt]
+            if c >= cap:
+                raise RuntimeError(
+                    f"remap: species {k} shard {sdt} overflows capacity "
+                    f"{cap}; raise max_local_np in the new deck")
+            tgt = sdt + (c,) if sh_new else (c,)
+            for n in out:
+                if n == "i":
+                    out[n][tgt] = new_i[idx]
+                elif n == "live":
+                    out[n][tgt] = True
+                else:
+                    out[n][tgt] = flat[n][idx]
+            counts[sdt] = c + 1
+        npc = counts if sh_new else np.int32(counts.reshape(()))
+        species.append(SpeciesState(
+            **{n: jnp.asarray(out[n]) for n in out},
+            np=jnp.asarray(npc, jnp.int32)))
+        k += 1
+
+    step_scalar = int(np.asarray(data["step"]).max())
+    step = (jnp.full(tnew, step_scalar, jnp.int32) if sh_new
+            else jnp.int32(step_scalar))
+    rng0 = np.asarray(data["rng"]).reshape(-1, 2)[0]
+    rng = (jnp.broadcast_to(jnp.asarray(rng0, jnp.uint32),
+                            tnew + (2,)) if sh_new
+           else jnp.asarray(rng0, jnp.uint32))
+    diag = {}
+    for n in data.files:
+        if not n.startswith("diag::"):
+            continue
+        v = np.asarray(data[n])
+        tot = v.reshape(-1, *v.shape[len(told):]).sum(axis=0) \
+            if sh_old else v
+        if sh_new:
+            out = np.zeros(tnew + tot.shape, v.dtype)
+            out[(0,) * 3] = tot
+            diag[n[len("diag::"):]] = jnp.asarray(out)
+        else:
+            diag[n[len("diag::"):]] = jnp.asarray(tot)
+    return SimState(fields=fields, species=tuple(species), step=step,
+                    rng=rng, diag=diag)
+
+
 def modify(sim, path: str):
     """--modify (misc.cc:136+): ASCII 'field value' per line."""
     allowed = {"num_step", "status_interval", "sync_shared_interval",
