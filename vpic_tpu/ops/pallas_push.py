@@ -88,11 +88,13 @@ def supports(g: Grid, max_capacity: int = 0) -> bool:
         if ((_eff_bc(g, axis, -1) == P_PERIODIC)
                 != (_eff_bc(g, axis, 1) == P_PERIODIC)):
             return False
-    if max_capacity and max_capacity >= (1 << 24):
-        # _sort_dest computes destinations in f32, exact only below 2^24;
-        # beyond that the bucket sort silently clones/loses particles.
+    # capacity: sort keys/sources are int32 through lax.sort (exact),
+    # so only the int32 index space bounds N (the old 2^24 limit guarded
+    # the retired f32 counting-sort destinations); voxel indices ride the
+    # packed kernel IO value-encoded in f32, bounding nv at 2^24
+    if max_capacity and max_capacity >= (1 << 30):
         return False
-    return g.nv >= 256
+    return 256 <= g.nv < (1 << 24)
 
 
 def _round_up(x, m):
@@ -216,7 +218,7 @@ def _sort_dest(b, nb: int, N: int, C: int = 256, R: int = 128):
 
 
 def bucket_sort_p(sp: SpeciesState, g: Grid, bucket: int = BUCKET,
-                  pack: int = 4):
+                  pack: int = 1):
     """O(N) stable counting sort by coarse voxel bucket (dead slots last).
 
     The fused kernel only needs particles grouped within its voxel window,

@@ -90,9 +90,10 @@ def supports3d(g: Grid, max_capacity: int = 0) -> bool:
             continue
         if n % b or n < c:
             return False
-    if max_capacity and max_capacity >= (1 << 24):
-        return False
-    return g.nv >= 1024
+    if max_capacity and max_capacity >= (1 << 30):
+        return False           # int32 index space (sort/gather indices)
+    # voxel indices ride the packed kernel IO value-encoded in f32
+    return 1024 <= g.nv < (1 << 24)
 
 
 def _nb(g: Grid) -> Tuple[int, int, int]:
