@@ -94,18 +94,19 @@ def test_multistep_deck_matches_xla(K):
     assert np.abs(e1 - e2).max() / e1.sum() < 1e-6
 
 
-def test_sort_dest_permutation_large_nb():
-    """_sort_dest must be a stable counting-sort permutation for multi-
-    digit bucket counts (nb > R exercised the hi-digit contraction that
-    once mis-computed in bf16 on real TPUs)."""
-    import numpy as np
-    from vpic_tpu.ops.pallas_push import _sort_dest
-
-    rng = np.random.default_rng(3)
-    for N, nb in ((100000, 397), (65536, 1561), (4096, 103)):
+def test_bucket_sort_sources_large_nb():
+    """The lax.sort-based bucket sort must yield a stable permutation for
+    multi-digit bucket counts (nb > 128) at ANY size -- the regression
+    class the retired f32 counting sort could fail (cloned/lost lanes)."""
+    rng = np.random.default_rng(0)
+    for N, nb in ((4096, 300), (20000, 1000)):
         b = rng.integers(0, nb + 1, N).astype(np.int32)
-        dest = np.asarray(_sort_dest(jnp.asarray(b), nb, N))
-        order = np.argsort(b, kind="stable")
-        ref = np.empty(N, np.int64)
-        ref[order] = np.arange(N)
-        assert (dest == ref).all(), (N, nb)
+        src = np.asarray(jax.lax.sort(
+            (jnp.asarray(b), jax.lax.iota(jnp.int32, N)), num_keys=1,
+            is_stable=True)[1])
+        assert np.array_equal(np.sort(src), np.arange(N))  # permutation
+        bs = b[src]
+        assert (np.diff(bs) >= 0).all()                    # sorted
+        for key in np.unique(b)[:20]:
+            idx = src[bs == key]
+            assert (np.diff(idx) > 0).all()                # stable

@@ -211,3 +211,44 @@ def test_chart2d_matches_general(walls):
     ig = np.sort(np.asarray(sg.species[0].i)[lg])
     ic = np.sort(np.asarray(sc.species[0].i)[lc])
     assert np.array_equal(ig, ic)
+
+
+def test_chart2d_deep_halo_wrap_exact():
+    """Deep halo layers must hold EXACTLY the wrapped cell's table values
+    (a one-cell error here pushes seam-crossing particles with the
+    neighbor's fields -- caught by review in round 2): fill a table with
+    each cell's canonical index and check every chart lane."""
+    sim = build2d("general")
+    g = sim.grid
+    nvp = ((g.nv + 127) // 128) * 128
+    vox_val = jnp.arange(nvp, dtype=jnp.float32)[None, :]
+    chart = np.asarray(PP3.to_chart_T(vox_val, g))
+    B, HAL, C, S, used = PP3.chart_dims(g)
+    nbx, nby, _ = PP3._nb(g)
+    NX, NY = g.nx + 2, g.ny + 2
+    for brick in range(PP3.nbricks(g)):
+        bx = brick % nbx
+        by = (brick // nbx) % nby
+        for ly in range(C[1]):
+            for lx in range(C[0]):
+                got = chart[0, brick * S + lx + C[0] * ly]
+                xi = bx * B[0] + lx - (HAL[0] - 1)
+                yi = by * B[1] + ly - (HAL[1] - 1)
+                # per-axis: the canonical ghost layer (0, n+1) is used
+                # as-is; deeper layers wrap to the interior
+                xw = xi if 0 <= xi <= g.nx + 1 else (xi - 1) % g.nx + 1
+                yw = yi if 0 <= yi <= g.ny + 1 else (yi - 1) % g.ny + 1
+                want = xw + NX * (yw + NY * 1)
+                assert got == want, (brick, lx, ly, got, want)
+    # and the fold adjoint returns every deep-halo deposit to the SAME
+    # wrapped cell the gather read from
+    one_lane = jnp.zeros((1, PP3.chart_width(g)), jnp.float32)
+    brick, lx, ly = 1, 2, 5      # deep-left halo of brick 1 (x wrap-free)
+    one_lane = one_lane.at[0, brick * S + lx + C[0] * ly].set(1.0)
+    folded = np.asarray(PP3.fold_chart_acc(one_lane, g)).reshape(
+        g.NZ, g.NY, g.NX)
+    xi = brick % nbx * B[0] + lx - (HAL[0] - 1)
+    yi = (brick // nbx) % nby * B[1] + ly - (HAL[1] - 1)
+    xw = xi if 0 <= xi <= g.nx + 1 else (xi - 1) % g.nx + 1
+    yw = yi if 0 <= yi <= g.ny + 1 else (yi - 1) % g.ny + 1
+    assert folded[1, yw, xw] == 1.0 and folded.sum() == 1.0

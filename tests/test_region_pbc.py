@@ -131,3 +131,45 @@ def test_interior_absorber_sharded_matches_single():
     n1 = int(np.asarray(s1.species[0].np).sum())
     n2 = int(np.asarray(s2.species[0].np).sum())
     assert n1 == n2
+
+
+def test_fused_corner_crossing_hits_interior_surface():
+    """A lane crossing +x then +y in ONE step passes THROUGH the cell
+    bordering the region and must still see the region face (round-2
+    review: the kernel pre-flag read only the START cell's mark, so such
+    lanes leaked through interior surfaces on the fused path; the mark
+    is now dilated by one cell)."""
+    def build_one(use_pallas):
+        sim = vt.Simulation(seed=3)
+        sim.define_units(1.0, 1.0)
+        g0 = vt.partition_periodic_box(0, 0, 0, 1.0, 1.0, 1.0 / 32,
+                                       32, 32, 1)
+        sim.define_timestep(0.7 * g0.courant_length())
+        sim.define_periodic_grid((0, 0, 0), (1.0, 1.0, 1.0 / 32),
+                                 (32, 32, 1))
+        sim.define_material("vacuum", 1.0)
+        sim.define_field_array(damp=0.0)
+        ele = sim.define_species("electron", -1.0, 1.0, 1024)
+        dx = 1.0 / 32
+        # region = single cell block starting at x,y in [0.5, 0.5625);
+        # particle sits in the cell DIAGONALLY below-left of the cell
+        # bordering the region corner, aimed at the corner
+        x0 = 0.5 - 1.5 * dx     # in cell A, two cells left of the region
+        sim.inject_particle(ele, x0 + 0.45 * dx, x0 + 0.40 * dx, 1 / 64,
+                            8.0, 9.0, 0.0, w=1.0)   # fast, +x +y
+        sim.set_region_particle_bc(
+            lambda x, y, z: (0.5 < x < 0.5625) and (0.5 < y < 0.5625),
+            ABSORB_PARTICLES)
+        sim.use_pallas = use_pallas
+        return sim
+
+    outs = {}
+    for up in (False, True):
+        sim = build_one(up)
+        state = sim.initialize()
+        adv = jax.jit(sim.make_advance())
+        for _ in range(12):
+            state = adv(state)
+        outs[up] = int(np.asarray(state.species[0].live).sum())
+    assert outs[True] == outs[False], \
+        f"fused {outs[True]} vs general {outs[False]} survivors"

@@ -214,26 +214,32 @@ def remap(fbase_tag: str, sim) -> SimState:
         out = {n: np.zeros(shp, cols[n].dtype) for n in _SP
                if n not in ("np",)}
         out["live"] = np.zeros(shp, bool)
-        counts = np.zeros(tnew, np.int64)
-        order = np.argsort((nsx * tnew[1] + nsy) * tnew[2] + nsz,
-                           kind="stable")
-        for idx in order:
-            sdt = (int(nsx[idx]), int(nsy[idx]), int(nsz[idx]))
-            c = counts[sdt]
-            if c >= cap:
-                raise RuntimeError(
-                    f"remap: species {k} shard {sdt} overflows capacity "
-                    f"{cap}; raise max_local_np in the new deck")
-            tgt = sdt + (c,) if sh_new else (c,)
-            for n in out:
-                if n == "i":
-                    out[n][tgt] = new_i[idx]
-                elif n == "live":
-                    out[n][tgt] = True
-                else:
-                    out[n][tgt] = flat[n][idx]
-            counts[sdt] = c + 1
-        npc = counts if sh_new else np.int32(counts.reshape(()))
+        # vectorized placement: stable-sort lanes by target shard, then
+        # each lane's slot is its rank within its shard run
+        key = (nsx * tnew[1] + nsy) * tnew[2] + nsz
+        order = np.argsort(key, kind="stable")
+        ks = key[order]
+        counts3 = np.bincount(ks, minlength=int(np.prod(tnew))).reshape(
+            tnew)
+        if counts3.max(initial=0) > cap:
+            sdt = np.unravel_index(counts3.argmax(), tnew)
+            raise RuntimeError(
+                f"remap: species {k} shard {tuple(int(v) for v in sdt)} "
+                f"holds {int(counts3.max())} > capacity {cap}; raise "
+                f"max_local_np in the new deck")
+        run_start = np.concatenate([[0], np.cumsum(np.bincount(
+            ks, minlength=int(np.prod(tnew))))[:-1]])
+        slot = np.arange(ks.size) - run_start[ks]
+        tgt = ((nsx[order], nsy[order], nsz[order], slot) if sh_new
+               else (slot,))
+        for n in out:
+            if n == "i":
+                out[n][tgt] = new_i[order]
+            elif n == "live":
+                out[n][tgt] = True
+            else:
+                out[n][tgt] = flat[n][order]
+        npc = counts3 if sh_new else np.int32(counts3.reshape(()))
         species.append(SpeciesState(
             **{n: jnp.asarray(out[n]) for n in out},
             np=jnp.asarray(npc, jnp.int32)))
@@ -251,8 +257,16 @@ def remap(fbase_tag: str, sim) -> SimState:
         if not n.startswith("diag::"):
             continue
         v = np.asarray(data[n])
-        tot = v.reshape(-1, *v.shape[len(told):]).sum(axis=0) \
-            if sh_old else v
+        per = v.reshape(-1, *v.shape[len(told):]) if sh_old else v[None]
+        if per.shape[1:] == ():
+            tot = per.sum(axis=0)          # scalar tallies: global sum
+        elif per.ndim == 1:
+            tot = per.sum(axis=0)
+        else:
+            # non-scalar leaves (link_boundary ring buffers) cannot be
+            # merged element-wise; they reset -- flush write_links before
+            # remapping if the pending records matter
+            tot = np.zeros(per.shape[1:], v.dtype)
         if sh_new:
             out = np.zeros(tnew + tot.shape, v.dtype)
             out[(0,) * 3] = tot

@@ -303,8 +303,31 @@ class Simulation:
                 lo_of_upper[(slice(None),) * a + (0,)] = False
                 vb[..., ax][lo_of_upper] = codes[ax]
             anyf = (vb != 0).any(axis=-1)
+            # Dilate by ONE cell: a corner-crossing lane may pass THROUGH
+            # a marked cell mid-walk (<= 1 crossing per axis per step
+            # under CFL), so any lane starting adjacent to a marked cell
+            # must pre-flag too; the exact per-face code is applied by
+            # the outlier replay.  Wrap on periodic axes; the extra marks
+            # cost only outlier flags near surfaces, never correctness.
+            dil = anyf.copy()
+            for ax in range(3):
+                a2 = {0: 2, 1: 1, 2: 0}[ax]
+                if (g.axis_bc(ax, -1, particles=True) == 0
+                        and g.topology[ax] == 1):
+                    grown = (np.roll(dil, 1, a2) | np.roll(dil, -1, a2))
+                else:
+                    up = np.zeros_like(dil)
+                    dn = np.zeros_like(dil)
+                    sl_hi = [slice(None)] * 3
+                    sl_hi[a2] = slice(1, None)
+                    sl_lo = [slice(None)] * 3
+                    sl_lo[a2] = slice(None, -1)
+                    up[tuple(sl_hi)] = dil[tuple(sl_lo)]
+                    dn[tuple(sl_lo)] = dil[tuple(sl_hi)]
+                    grown = up | dn
+                dil = dil | grown
             mk[...] = np.maximum(
-                mk, anyf[1:-1, 1:-1, 1:-1].astype(np.float32))
+                mk, dil[1:-1, 1:-1, 1:-1].astype(np.float32))
 
         if not g.sharded:
             paint(self._vbc, self._vbc_mark, 0, 0, 0)

@@ -146,77 +146,6 @@ def table_width(g: Grid, window: int = DEF_WINDOW) -> int:
     return max(_round_up(g.nv, 128), window)
 
 
-def _sort_dest(b, nb: int, N: int, C: int = 256, R: int = 128):
-    """Stable counting-sort destinations for keys b in [0, nb] (nb = dead
-    key, sorts last), scalable to any (N, nb) -- no (N, nb) one-hot and no
-    N-row gather ever touches HBM.
-
-    The key splits into digits b = hi*R + lo; per 256-particle chunk the
-    (hi, lo) histogram is the MXU product onehot_hi^T @ onehot_lo of the
-    two small digit one-hots (O(N*nb) flops but only O(N*sqrt-ish)
-    transients).  Rank-among-equals within a chunk is a strict-lower
-    compare matrix (O(N*C), nb-independent).  The global base offset
-    E[chunk, hi, lo] (bucket offset + preceding-chunk counts) comes back
-    per particle through two more exact one-hot contractions.  Everything
-    is f32 at Precision.HIGHEST (exact: counts <= 256, E < 2^24) -- TPU
-    f32 matmuls otherwise run a single bf16 MXU pass that truncates E.
-    All under lax.map in chunk groups so transients stay in the MB
-    range."""
-    Np = _round_up(N, C)
-    nc = Np // C
-    nhi = (nb + R) // R
-    # group chunks so each map step's transients stay ~8 MB
-    per = C * (R + nhi) * 6 + C * C + C * R * 4
-    group = max(1, min(nc, (1 << 23) // per))
-    while nc % group:
-        group -= 1
-    bp = jnp.pad(b, (0, Np - N), constant_values=nb)
-    blo = (bp % R).reshape(nc // group, group, C)
-    bhi = (bp // R).reshape(nc // group, group, C)
-    bc = bp.reshape(nc // group, group, C)
-    lane = jnp.arange(C, dtype=jnp.int32)
-    strict = lane[None, :] < lane[:, None]        # (C, C) j < i
-    vlo = jnp.arange(R, dtype=bp.dtype)
-    vhi = jnp.arange(nhi, dtype=bp.dtype)
-
-    def pass1(args):
-        lo, hi, bg = args
-        ohlo = (lo[:, :, None] == vlo[None, None, :]).astype(jnp.float32)
-        ohhi = (hi[:, :, None] == vhi[None, None, :]).astype(jnp.float32)
-        cnt = jnp.einsum('gch,gcl->ghl', ohhi, ohlo,
-                         precision=jax.lax.Precision.HIGHEST,
-                         preferred_element_type=jnp.float32)
-        eq = (bg[:, :, None] == bg[:, None, :]) & strict[None]
-        rank = jnp.sum(eq.astype(jnp.float32), axis=2)
-        return cnt, rank
-
-    counts, rank = jax.lax.map(pass1, (blo, bhi, bc))
-    counts = counts.reshape(nc, nhi, R)           # exact ints <= 256
-    rank = rank.reshape(Np)
-    chunk_prefix = jnp.cumsum(counts, axis=0) - counts
-    tot = counts.sum(axis=0).reshape(-1)          # (nhi*R,) in v order
-    offsets = (jnp.cumsum(tot) - tot).reshape(nhi, R)
-    E = offsets[None] + chunk_prefix              # (nc, nhi, R), < 2^24
-
-    def pass2(args):
-        lo, hi, Eg = args
-        ohlo = (lo[:, :, None] == vlo[None, None, :]).astype(jnp.float32)
-        ohhi = (hi[:, :, None] == vhi[None, None, :]).astype(jnp.float32)
-        # exact ONLY at HIGHEST: TPU f32 matmuls default to a single bf16
-        # MXU pass, which truncates E (< 2^24) to an 8-bit mantissa and
-        # produced garbage destinations (dup/empty slots -> cloned
-        # particles) at nb > R on real hardware
-        tmp = jnp.einsum('gch,ghl->gcl', ohhi, Eg,
-                         precision=jax.lax.Precision.HIGHEST,
-                         preferred_element_type=jnp.float32)
-        return jnp.sum(tmp * ohlo, axis=2)
-
-    off_base = jax.lax.map(
-        pass2, (blo, bhi, E.reshape(nc // group, group, nhi, R))
-    ).reshape(Np)
-    return (off_base + rank).astype(jnp.int32)[:N]
-
-
 def bucket_sort_p(sp: SpeciesState, g: Grid, bucket: int = BUCKET,
                   pack: int = 1):
     """O(N) stable counting sort by coarse voxel bucket (dead slots last).
@@ -681,8 +610,7 @@ def _kernel(g: Grid, max_streak, P, V, nvp, resident, ablate, vbc_mark,
             adma_out.wait()
 
 
-def vmem_plan(nvp: int, window: int,
-              dense: bool = False) -> Tuple[int, bool, int]:
+def vmem_plan(nvp: int, window: int) -> Tuple[int, bool, int]:
     """(block, resident, window) keeping the kernel inside the ~16 MB VMEM
     budget: resident tables + the (P, V) one-hot/vals transients + double-
     buffered particle blocks.  Larger blocks amortize per-block overhead
@@ -694,17 +622,12 @@ def vmem_plan(nvp: int, window: int,
     win = window
     while win >= 256:
         H = win // 128
-        for block in ((2048, 1024) if dense else (4096, 2048, 1024)):
+        for block in (4096, 2048, 1024):
             for resident in (True, False):
                 tabs = (24 + 16) * (nvp if resident else win) * 4
-                if dense:
-                    # dense (P, V) one-hot transients (3-D chart kernel)
-                    trans = block * win * 2 * 2 + block * 17 * 4 * 2
-                else:
-                    # factorized-one-hot transients: G2 (24H,P) f32, rhsT
-                    # (16H,P) f32 + bf16 splits, lo one-hots, particle
-                    # blocks
-                    trans = block * (264 * H + 648)
+                # factorized-one-hot transients: G2 (24H,P) f32, rhsT
+                # (16H,P) f32 + bf16 splits, lo one-hots, particle blocks
+                trans = block * (264 * H + 648)
                 if resident and tabs > RESIDENT_VMEM_BUDGET:
                     continue
                 if tabs + trans <= (14 << 20):

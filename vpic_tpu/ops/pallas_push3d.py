@@ -48,7 +48,7 @@ from jax.experimental.pallas import tpu as pltpu
 from ..grid import P_PERIODIC, REFLECT_PARTICLES, Grid
 from ..state import SpeciesState
 from .push import BIG, ONE_THIRD, TWO_FIFTEENTHS
-from .pallas_push import _eff_bc, _hilo_dot, _round_up, vmem_plan
+from .pallas_push import _eff_bc, _hilo_dot, _round_up
 
 B3 = 8                      # 3-D brick side (cells)
 CH2_B = (16, 8, 1)          # 2-D brick dims (x, y, z cells)
@@ -121,8 +121,10 @@ def _extend_axis(a, aa, ax, g: Grid, h: int):
     n = (g.nx, g.ny, g.nz)[ax]
     from .pallas_push import _eff_bc
     if _eff_bc(g, ax, -1) == P_PERIODIC and g.topology[ax] == 1:
-        lo = jax.lax.slice_in_dim(a, n + 2 - h, n + 1, axis=aa)
-        hi = jax.lax.slice_in_dim(a, 1, h, axis=aa)
+        # left layers are cells [1-h, 0) -> wrapped interior [n+1-h, n);
+        # right layers are cells [n+2, n+h] -> wrapped interior [2, h+1)
+        lo = jax.lax.slice_in_dim(a, n + 1 - h, n, axis=aa)
+        hi = jax.lax.slice_in_dim(a, 2, h + 1, axis=aa)
     else:
         shp = list(a.shape)
         shp[aa] = h - 1

@@ -441,6 +441,7 @@ def streak_walk(g: Grid, qsp, w, pos, disp, coords, u, active, alive,
             code = None
 
         # Neighbor / boundary logic per axis (replaces g->neighbor table).
+        vb_absorbed = None
         for ax in range(3):
             m = crossing & (axis == ax)
             if code is not None:
@@ -456,9 +457,10 @@ def streak_walk(g: Grid, qsp, w, pos, disp, coords, u, active, alive,
                 else:
                     uz = jnp.where(vb_r, -uz, uz)
                     dpz = jnp.where(vb_r, -dpz, dpz)
-                vox_now = xi + g.NX * (yi + g.NY * zi)
-                rhob = deposit_rhob(rhob, g, vox_now, px, py, pz, w,
-                                    qsp, vb_a)
+                # one union-mask rhob deposit per round, after the loop
+                # (positions/voxels of absorbed lanes are already frozen)
+                vb_absorbed = vb_a if vb_absorbed is None \
+                    else (vb_absorbed | vb_a)
                 alive = alive & ~vb_a
                 active = active & ~vb_a
                 pend = jnp.where(vb_p, code, pend)
@@ -533,6 +535,11 @@ def streak_walk(g: Grid, qsp, w, pos, disp, coords, u, active, alive,
             else:
                 zi = coord
                 pz = jnp.where(flip, -pz, pz)
+
+        if vb_absorbed is not None:
+            vox_now = xi + g.NX * (yi + g.NY * zi)
+            rhob = deposit_rhob(rhob, g, vox_now, px, py, pz, w, qsp,
+                                vb_absorbed)
 
         carry = (px, py, pz, dpx, dpy, dpz, xi, yi, zi,
                  ux, uy, uz, active, alive, pend, acc, rhob)
