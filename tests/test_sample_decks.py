@@ -149,3 +149,20 @@ def test_lpi_2d_decomposition():
     np.testing.assert_allclose(e2[6:], e1[6:], rtol=5e-3)
     np.testing.assert_allclose(e2[[1, 5]], e1[[1, 5]], rtol=5e-2)
     assert np.isfinite(e2).all()
+
+
+def test_sc08_demo_runs_and_conserves():
+    """sample/SC08_ONE_TRIBLADE_DEMO analogue: 3-D Harris sheet in x with
+    PEC/reflecting x walls and two weighted populations; particle count
+    conserved (reflecting box), energies finite and drift-bounded."""
+    from vpic_tpu.models import sc08
+    sim = sc08.build(sc08.SC08Params(nx=16, ny=8, nz=8, nppc=2))
+    state = sim.initialize()
+    n0 = int(sum(np.asarray(sp.np).sum() for sp in state.species))
+    e0 = np.asarray(sim.energies(state)).sum()
+    state = run(sim, 15, state)
+    n1 = int(sum(np.asarray(sp.np).sum() for sp in state.species))
+    e1 = np.asarray(sim.energies(state)).sum()
+    assert n1 == n0
+    assert np.isfinite(e1)
+    assert abs(e1 - e0) / e0 < 5e-3
