@@ -97,3 +97,17 @@ def dryrun(n_devices: int) -> None:
     assert bool(jax.numpy.isfinite(en).all()), "non-finite energies"
     print(f"dryrun_multichip({n_devices}): ok, step={int(state.step.max())}, "
           f"energies={np.asarray(en)}")
+
+    # also compile+run one step of the 2-D brick-chart path on a sharded
+    # y-axis (the round-2 kernel variant for large grids)
+    p2 = harris.HarrisParams(nx=32, ny=24 * n_devices, nz=1, nppc=4,
+                             Lx=16.0, Ly=12.0 * n_devices,
+                             topology=(1, n_devices, 1), sort_interval=0)
+    sim2 = harris.build(p2)
+    sim2.use_pallas = True
+    sim2.pallas_chart2d = True
+    state2 = sim2.make_step()(sim2.initialize())
+    jax.block_until_ready(state2.fields.ex)
+    en2 = sim2.energies(state2)
+    assert bool(jax.numpy.isfinite(en2).all()), "chart-2D: non-finite"
+    print(f"dryrun_multichip({n_devices}): chart-2D ok")
