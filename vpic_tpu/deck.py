@@ -835,14 +835,15 @@ class Simulation:
         else:
             # 2-D chart-vs-window policy: charts keep the per-block
             # voxel footprint at 768 lanes regardless of NX, while the
-            # window kernel's window grows ~ NX * sortK; cut over when
-            # the window would exceed the chart size by 2x ("auto"),
-            # or force with pallas_chart2d=True/False.
+            # window kernel's window grows ~ NX * sortK.  MEASURED on the
+            # v5e (50-step dispatch, harris): windows win EVERY tier --
+            # 95/123/98/70/50 M/s vs charts' 30/44/37/35/29 at
+            # 64^2x{64,256}, 128^2x{64,256}, 256^2x64 -- the chart
+            # transforms + brick-slack padding outweigh the smaller H.
+            # "auto" therefore always picks windows; pallas_chart2d=True
+            # keeps the chart path forceable (and parity-tested).
             want = self.pallas_chart2d
-            wide = (PP.pick_window(g, max(1, self.pallas_sort_interval))
-                    > 1536)
-            fused3 = chart_ok and (
-                want is True or (want == "auto" and wide and on_tpu))
+            fused3 = chart_ok and want is True
         fused2 = (not fused3) and PP.supports(g, max_cap)
         if self.use_pallas == "auto":
             use_fused = fused2 or fused3

@@ -408,8 +408,10 @@ def _kernel3d(g: Grid, max_streak, P, nbx, nby, nbz, resident,
 
       safe = in_chart
       loc0 = jnp.where(safe, loc, -1)
-      oh_lo0 = (lane_r == (loc0 & 127)[:, None]).astype(jnp.bfloat16) \
-          * (loc0 >= 0)[:, None].astype(jnp.bfloat16)
+      # invalid lanes encode as -1 (never matches lane_r in [0,128)) --
+      # reshaping the int32 avoids the i1 minor-dim insert Mosaic rejects
+      lo0 = jnp.where(loc0 >= 0, loc0 & 127, -1)[:, None]
+      oh_lo0 = (lane_r == lo0).astype(jnp.bfloat16)
       ohhi0 = (iota_h == (loc0 // 128)[None, :]).astype(jnp.float32)
 
       if resident:
