@@ -3,7 +3,13 @@
 energy conserved to ~1e-6-level over 10k steps).  Runs on the TPU in
 scan chunks; prints the relative total-energy drift every 1000 steps.
 
-Usage: drift_10k.py [nx ny nppc [nsteps]]
+Usage: drift_10k.py [nx ny nppc [nsteps]] [--damp D] [--xla]
+
+--damp 0 isolates numerical (non-)conservation: the deck default
+damp=0.001 is TCA radiation damping, which REMOVES energy by design
+(a secular ~-1e-6/step on this config), so the conservation axis must
+be measured with damping off.  --xla runs the exact-f32 XLA path for
+comparison against the fused kernel's bf16-split arithmetic.
 """
 
 import sys
@@ -19,11 +25,20 @@ from vpic_tpu.models import harris
 
 def main():
     a = sys.argv[1:]
+    damp = 0.001
+    if "--damp" in a:
+        k = a.index("--damp")
+        damp = float(a[k + 1])
+        del a[k:k + 2]
+    use_xla = "--xla" in a
+    a = [x for x in a if not x.startswith("--")]
     nx, ny, nppc = (int(x) for x in a[:3]) if len(a) >= 3 else (64, 64, 64)
     nsteps = int(a[3]) if len(a) > 3 else 10000
     chunk = 500
-    p = harris.HarrisParams(nx=nx, ny=ny, nppc=nppc)
+    p = harris.HarrisParams(nx=nx, ny=ny, nppc=nppc, damp=damp)
     sim = harris.build(p)
+    if use_xla:
+        sim.use_pallas = False
     state = sim.initialize()
     adv = sim.make_multi_step(chunk)
     e0 = float(np.asarray(sim.energies(state)).sum())

@@ -3,7 +3,7 @@
 per-kernel cost table (dev tool; the trace is the ONLY reliable per-op
 signal over the tunneled TPU -- see CLAUDE.md).
 
-Usage: trace_step.py [nx ny nppc [nsteps]]
+Usage: trace_step.py [nx ny nppc [nsteps]] [--chart] [--sortk K]
 """
 
 import glob
@@ -22,10 +22,21 @@ from vpic_tpu.models import harris
 
 def main():
     a = sys.argv[1:]
+    chart = "--chart" in a
+    sortk = 0
+    if "--sortk" in a:
+        k = a.index("--sortk")
+        sortk = int(a[k + 1])
+        del a[k:k + 2]
+    a = [x for x in a if not x.startswith("--")]
     nx, ny, nppc = (int(x) for x in a[:3]) if len(a) >= 3 else (64, 64, 64)
     nsteps = int(a[3]) if len(a) > 3 else 20
     p = harris.HarrisParams(nx=nx, ny=ny, nppc=nppc)
     sim = harris.build(p)
+    if chart:
+        sim.pallas_chart2d = True
+    if sortk:
+        sim.pallas_sort_interval = sortk
     state = sim.initialize()
     adv = sim.make_multi_step(nsteps)
     state = adv(state)          # compile + warm
