@@ -1,5 +1,9 @@
 #!/usr/bin/env python
-"""Throughput vs problem size for the harris deck (dev tool)."""
+"""Throughput vs problem size for the harris deck (dev tool).
+
+Usage: size_scaling.py [--chart]   (--chart forces the 2-D brick-chart
+kernel; default is the auto policy)
+"""
 
 import sys
 import time
@@ -10,10 +14,14 @@ import jax
 
 from vpic_tpu.models import harris
 
+CHART = "--chart" in sys.argv[1:]
+
 
 def measure(nx, ny, nppc, n_steps=50):
     p = harris.HarrisParams(nx=nx, ny=ny, nppc=nppc)
     sim = harris.build(p)
+    if CHART:
+        sim.pallas_chart2d = True
     state = sim.initialize()
     adv = sim.make_multi_step(n_steps)
     state = adv(state)

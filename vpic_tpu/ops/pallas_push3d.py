@@ -726,15 +726,27 @@ def _run3d(sps, tab_chart, acc_chart, g: Grid, qsps, msps,
         cols["w"].append(pad(sp.w))
         cols["live"].append(live.astype(jnp.float32))
 
-        # every block maps to the brick of its median live lane (the
-        # quantized sort makes blocks single-brick; tight-packed fallback
-        # blocks just flag their minority lanes)
+        # Every block maps to its MAJORITY brick: median of 9 quantile-
+        # sampled live lanes' brick ids.  A single median-slot lane is a
+        # random block member (slot order within a brick is arbitrary),
+        # and once IT drifts into a neighbor brick the whole block gets
+        # charted against the wrong brick and ~half its lanes leave the
+        # chart -- measured 7->35 misassigned blocks (of 192) across a
+        # 2-D sort cycle at 64^2x64ppc, flooding the outlier pass every
+        # step (the reason charts lost to windows at every tier).  The
+        # majority brick is within one brick of every lane's position, so
+        # the halo covers the whole inter-sort drift and steady-state
+        # flags drop to the genuine CFL tail.
         livb = live.reshape(nb, block)
         vb = vox.reshape(nb, block)
         nlive = jnp.sum(livb, axis=1)
-        mid = jnp.take_along_axis(
-            vb, jnp.clip(nlive // 2, 0, block - 1)[:, None], 1)[:, 0]
-        w0s.append(jnp.clip(brick_of(mid, g) * S, 0, nvp - S))
+        fr = jnp.asarray([(2 * j + 1) / 18.0 for j in range(9)],
+                         jnp.float32)
+        idxs = jnp.clip((nlive[:, None] * fr[None, :]).astype(jnp.int32),
+                        0, block - 1)                    # (nb, 9)
+        samp = jnp.take_along_axis(vb, idxs, 1)          # sampled voxels
+        home = jnp.sort(brick_of(samp, g), axis=1)[:, 4]
+        w0s.append(jnp.clip(home * S, 0, nvp - S))
         nls.append(nlive)
         qd2s.append(jnp.full((nb,), (qsp * g.dt) / (2.0 * msp * g.cvac),
                              jnp.float32))
