@@ -35,7 +35,8 @@ import jax.numpy as jnp
 
 from .grid import FACE_AXIS, FACE_SIDE, Grid
 from .ops.push import (CUSTOM_BASE, DONE, SpeciesState, deposit_rhob,
-                       gather_rows, invert_perm, streak_walk)
+                       gather_rows, gather_sp_rows, invert_perm,
+                       streak_walk)
 
 BUF_COLS = 13
 
@@ -50,12 +51,16 @@ def compact(sp: SpeciesState, *extra):
     dead_rank = jnp.cumsum((~live).astype(jnp.int32))
     dest = jnp.where(live, live_rank - 1, n_live + dead_rank - 1)
     src = invert_perm(dest)
-    moved = gather_rows(src, sp.dx, sp.dy, sp.dz, sp.i, sp.ux, sp.uy,
-                        sp.uz, sp.w, sp.live, *extra)
-    sp = sp.replace(dx=moved[0], dy=moved[1], dz=moved[2], i=moved[3],
-                    ux=moved[4], uy=moved[5], uz=moved[6], w=moved[7],
-                    live=moved[8], np=n_live)
-    return (sp,) + tuple(moved[9:])
+    # species fields in one 8-column gather (live rides the voxel sign --
+    # see gather_sp_rows), extras in a second: two <=8-column gathers beat
+    # one 9+-column gather ~2x (the row tile spills past 8 columns)
+    dx, dy, dz, ux, uy, uz, w, i, live = gather_sp_rows(
+        src, sp.dx, sp.dy, sp.dz, sp.ux, sp.uy, sp.uz, sp.w, sp.i,
+        sp.live)
+    sp = sp.replace(dx=dx, dy=dy, dz=dz, i=i, ux=ux, uy=uy, uz=uz, w=w,
+                    live=live, np=n_live)
+    moved_extra = gather_rows(src, *extra) if extra else ()
+    return (sp,) + tuple(moved_extra)
 
 
 def _face_perm(g: Grid, face: int):

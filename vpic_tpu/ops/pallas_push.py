@@ -180,8 +180,8 @@ def bucket_sort_p(sp: SpeciesState, g: Grid, bucket: int = BUCKET,
     # Move rows with a GATHER by the per-slot source: on this chip a row
     # gather runs ~16x faster than the equivalent row scatter (80 ms ->
     # 5+5 ms at 786k rows), so movers must always be gathers.
-    from .push import gather_rows
-    dx, dy, dz, ux, uy, uz, w, i, live = gather_rows(
+    from .push import gather_sp_rows
+    dx, dy, dz, ux, uy, uz, w, i, live = gather_sp_rows(
         src, sp.dx, sp.dy, sp.dz, sp.ux, sp.uy, sp.uz,
         sp.w, sp.i, sp.live, pack=pack)
     return sp.replace(dx=dx, dy=dy, dz=dz, ux=ux, uy=uy, uz=uz, w=w,

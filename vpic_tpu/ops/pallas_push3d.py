@@ -234,14 +234,14 @@ def brick_sort_p(sp: SpeciesState, g: Grid, quantum: int = 1024):
     to the kernel block size (every block -> one brick).  Dead lanes are
     dropped (they carry no information); pad slots become dead.  Falls
     back to tight packing when quantization would overflow capacity."""
-    from .push import gather_rows
+    from .push import gather_sp_rows
     N = sp.capacity
     nb = nbricks(g)
     b = jnp.where(sp.live, brick_of(sp.i, g), nb)
     src = _sort_src_q(b, nb, N, quantum)
-    moved = gather_rows(jnp.maximum(src, 0),
-                        sp.dx, sp.dy, sp.dz, sp.ux, sp.uy, sp.uz,
-                        sp.w, sp.i, sp.live)
+    moved = gather_sp_rows(jnp.maximum(src, 0),
+                           sp.dx, sp.dy, sp.dz, sp.ux, sp.uy, sp.uz,
+                           sp.w, sp.i, sp.live)
     dx, dy, dz, ux, uy, uz, w, i, live = moved
     live = live & (src >= 0)
     return sp.replace(dx=dx, dy=dy, dz=dz, ux=ux, uy=uy, uz=uz,
