@@ -257,8 +257,16 @@ def remap(fbase_tag: str, sim) -> SimState:
         if not n.startswith("diag::"):
             continue
         v = np.asarray(data[n])
+        name = n[len("diag::"):]
         per = v.reshape(-1, *v.shape[len(told):]) if sh_old else v[None]
-        if per.shape[1:] == ():
+        if name.startswith("_chart_home"):
+            # chart block->brick maps are decomposition-specific: re-seed
+            # zeros at the NEW capacity (stale homes only cost outlier
+            # replays until the next brick sort, never correctness)
+            k = int(name[len("_chart_home"):])
+            cap = sim.species[k].params.capacity
+            tot = np.zeros(((cap + 1023) // 1024,), np.int32)
+        elif per.shape[1:] == ():
             tot = per.sum(axis=0)          # scalar tallies: global sum
         elif per.ndim == 1:
             tot = per.sum(axis=0)
@@ -270,9 +278,9 @@ def remap(fbase_tag: str, sim) -> SimState:
         if sh_new:
             out = np.zeros(tnew + tot.shape, v.dtype)
             out[(0,) * 3] = tot
-            diag[n[len("diag::"):]] = jnp.asarray(out)
+            diag[name] = jnp.asarray(out)
         else:
-            diag[n[len("diag::"):]] = jnp.asarray(tot)
+            diag[name] = jnp.asarray(tot)
     return SimState(fields=fields, species=tuple(species), step=step,
                     rng=rng, diag=diag)
 

@@ -797,6 +797,13 @@ class Simulation:
         for face, h in self.pbc_handlers.items():
             if hasattr(h, "diag_init"):
                 diag.update(h.diag_init(sp_params, face))
+        if self._fused_mode()[2]:
+            # chart-kernel decks carry per-species block -> home-brick
+            # maps (written by the brick sort, read by the push); zeros
+            # here -- the first advance sorts at step 0 before pushing
+            for k, spp in enumerate(sp_params):
+                diag[f"_chart_home{k}"] = jnp.zeros(
+                    ((spp.capacity + 1023) // 1024,), jnp.int32)
         if g.sharded:
             step0 = jnp.zeros(g.topology, jnp.int32)
             key = jnp.broadcast_to(key, g.topology + key.shape)
@@ -806,6 +813,62 @@ class Simulation:
                         diag=diag)
 
     # ---------------- the step (advance.cc:15-208) ----------------
+
+    def _fused_mode(self):
+        """(use_fused, fused2, fused3, sortK) -- the kernel-path decision,
+        shared by make_advance and initialize (which must pre-seed the
+        jit-carried chart home maps when fused3 will run)."""
+        from .ops import pallas_push as PP
+        from .ops import pallas_push3d as PP3
+        g = self.grid
+        max_cap = max((st.params.capacity for st in self.species),
+                      default=0)
+        on_tpu = jax.devices()[0].platform == "tpu"
+        chart_ok = PP3.supports3d(g, max_cap) and self._vbc is None
+        sortK = max(1, self.pallas_sort_interval)
+        # Chart home maps are computed by the brick sort and stay valid
+        # only while lane SLOTS are stable: any op that reorders lanes
+        # between sorts (migration compaction, emitter/user injection
+        # appends, collision voxel shuffles) forces a sort every step.
+        reorders = (g.sharded or bool(self.emitters)
+                    or self.user_particle_injection is not None
+                    or bool(self.collision_ops)
+                    or self.user_particle_collisions is not None)
+        if g.nz > 1:
+            fused3 = chart_ok and (on_tpu or self.use_pallas is True)
+        elif self.pallas_chart2d == "auto":
+            # MEASURED v5e cutover (harris, 50-step dispatches, sticky
+            # homes): windows win at 64^2 (120 vs 92 M/s), charts win
+            # from 96^2 up (119/137 vs 117/121 at x64/x256) and by 1.75x
+            # at 256^2x64 (112 vs 64) -- the window footprint grows
+            # ~(2*sortK+2)*NX while charts stay at 768 lanes.  Decks
+            # with lane-reordering ops would lose the chart sort-cycle
+            # amortization (sortK -> 1), so they keep windows.
+            # (on_tpu: interpret-mode charts are too slow for routine CPU
+            # testing, as in 3-D; pallas_chart2d=True still forces them)
+            fused3 = (chart_ok and not reorders and on_tpu
+                      and PP.pick_window(g, sortK) >= 2048)
+        else:
+            fused3 = chart_ok and self.pallas_chart2d is True
+        fused2 = (not fused3) and PP.supports(g, max_cap)
+        if self.use_pallas == "auto":
+            use_fused = fused2 or fused3
+        else:
+            use_fused = bool(self.use_pallas) and (fused2 or fused3)
+        if fused3:
+            if g.nz > 1:
+                # 1-deep halos: sorting every step makes chart exits
+                # impossible (<= 1 face crossing per axis per step) ->
+                # zero outlier churn; measured 33.1 vs 16.5 Mpush/s at
+                # sortK 1 vs 2 on 32^3
+                sortK = 1
+            elif reorders:
+                sortK = 1
+            else:
+                # 2-D charts carry CH2_HALO-deep halos: the brick sort
+                # only has to outrun the halo
+                sortK = min(sortK, PP3.CH2_HALO)
+        return use_fused, fused2, fused3, sortK
 
     def make_advance(self) -> Callable[[SimState], SimState]:
         g = self.grid
@@ -822,45 +885,17 @@ class Simulation:
         from .ops import pallas_push as PP
         from .ops import pallas_push3d as PP3
         max_cap = max((st.params.capacity for st in self.species), default=0)
-        # the 3-D kernel in interpret mode (no real TPU) is too slow for
-        # routine CPU testing: auto-enable on TPU only; use_pallas=True
-        # forces it anywhere (the dedicated parity tests do)
-        on_tpu = jax.devices()[0].platform == "tpu"
-        # per-voxel BC surfaces: the 2-D window kernel pre-flags via the
-        # table mark row; the chart kernel doesn't carry the row yet, so
-        # such decks take the window kernel (2-D) / general path (3-D)
-        chart_ok = PP3.supports3d(g, max_cap) and self._vbc is None
-        if g.nz > 1:
-            fused3 = chart_ok and (on_tpu or self.use_pallas is True)
-        else:
-            # 2-D chart-vs-window policy: charts keep the per-block
-            # voxel footprint at 768 lanes regardless of NX, while the
-            # window kernel's window grows ~ NX * sortK.  MEASURED on the
-            # v5e (50-step dispatch, harris): windows win EVERY tier --
-            # 95/123/98/70/50 M/s vs charts' 30/44/37/35/29 at
-            # 64^2x{64,256}, 128^2x{64,256}, 256^2x64 -- the chart
-            # transforms + brick-slack padding outweigh the smaller H.
-            # "auto" therefore always picks windows; pallas_chart2d=True
-            # keeps the chart path forceable (and parity-tested).
-            want = self.pallas_chart2d
-            fused3 = chart_ok and want is True
-        fused2 = (not fused3) and PP.supports(g, max_cap)
-        if self.use_pallas == "auto":
-            use_fused = fused2 or fused3
-        else:
-            use_fused = bool(self.use_pallas) and (fused2 or fused3)
-        sortK = max(1, self.pallas_sort_interval)
-        if fused3:
-            if g.nz > 1:
-                # 1-deep halos: sorting every step makes chart exits
-                # impossible (<= 1 face crossing per axis per step) ->
-                # zero outlier churn; measured 33.1 vs 16.5 Mpush/s at
-                # sortK 1 vs 2 on 32^3
-                sortK = 1
-            else:
-                # 2-D charts carry CH2_HALO-deep halos: the brick sort
-                # only has to outrun the halo
-                sortK = min(sortK, PP3.CH2_HALO)
+        # Kernel-path policy notes:
+        # * 3-D (interpret mode too slow off-TPU): auto-enable on TPU
+        #   only; use_pallas=True forces it anywhere (parity tests do).
+        # * Per-voxel BC surfaces: the 2-D window kernel pre-flags via the
+        #   table mark row; the chart kernel doesn't carry the row yet, so
+        #   such decks take the window kernel (2-D) / general path (3-D).
+        # * 2-D chart-vs-window: charts keep the per-block footprint at
+        #   768 lanes regardless of NX, windows grow ~ NX * sortK; the
+        #   MEASURED v5e policy picks windows by default (auto);
+        #   pallas_chart2d=True forces charts (parity-tested).
+        use_fused, fused2, fused3, sortK = self._fused_mode()
 
 
         def advance(state: SimState) -> SimState:
@@ -920,16 +955,39 @@ class Simulation:
                 pends, disps = [], []
                 oflags = [None] * len(sp_params)
                 if fused3:
+                    # STICKY home maps: the brick sort emits the exact
+                    # block -> brick assignment of the layout it builds;
+                    # it rides the jit-carried diag dict (checkpointed,
+                    # scan-stable) until the next sort.  Re-deriving homes
+                    # from drifted lane positions misassigns collectively-
+                    # drifting blocks mid-sort-cycle and floods the
+                    # outlier pass (measured ~150 ms/step at 256^2x64).
+                    have_homes = "_chart_home0" in diag
                     for k in range(len(sp_params)):
-                        species[k] = jax.lax.cond(
-                            step % sortK == 0,
-                            lambda s: PP3.brick_sort_p(s, g),
-                            lambda s: s, species[k])
+                        if have_homes and sortK == 1:
+                            species[k], diag[f"_chart_home{k}"] = \
+                                PP3.brick_sort_p_home(species[k], g)
+                        elif have_homes:
+                            species[k], diag[f"_chart_home{k}"] = \
+                                jax.lax.cond(
+                                    step % sortK == 0,
+                                    lambda s, h: PP3.brick_sort_p_home(
+                                        s, g),
+                                    lambda s, h: (s, h),
+                                    species[k], diag[f"_chart_home{k}"])
+                        else:   # pre-home checkpoint: per-step fallback
+                            species[k] = jax.lax.cond(
+                                step % sortK == 0,
+                                lambda s: PP3.brick_sort_p(s, g),
+                                lambda s: s, species[k])
                     if sp_params:
+                        homes = ([diag[f"_chart_home{k}"]
+                                  for k in range(len(sp_params))]
+                                 if have_homes else None)
                         species, acc_T, oflags, _ = PP3.fused_push3d_multi(
                             species, tab_chart, acc_T, g,
                             [(spp.q, spp.m) for spp in sp_params],
-                            max_streak=self.max_streak)
+                            max_streak=self.max_streak, homes=homes)
                         species = list(species)
                 else:
                     for k in range(len(sp_params)):

@@ -229,28 +229,40 @@ def brick_of(sp_i, g: Grid):
                                       + nby * ((zi - 1) // B[2])))
 
 
-def brick_sort_p(sp: SpeciesState, g: Grid, quantum: int = 1024):
+def brick_sort_p_home(sp: SpeciesState, g: Grid, quantum: int = 1024):
     """Counting sort by home brick with per-brick slot ranges quantized up
     to the kernel block size (every block -> one brick).  Dead lanes are
     dropped (they carry no information); pad slots become dead.  Falls
-    back to tight packing when quantization would overflow capacity."""
+    back to tight packing when quantization would overflow capacity.
+    Returns (sorted_species, (capacity // quantum,) block home-brick map)
+    -- the map is the layout's OWN block -> brick assignment and stays the
+    kernel's charting authority until the next sort."""
     from .push import gather_sp_rows
     N = sp.capacity
     nb = nbricks(g)
     b = jnp.where(sp.live, brick_of(sp.i, g), nb)
-    src = _sort_src_q(b, nb, N, quantum)
+    src, home = _sort_src_q(b, nb, N, quantum)
     moved = gather_sp_rows(jnp.maximum(src, 0),
                            sp.dx, sp.dy, sp.dz, sp.ux, sp.uy, sp.uz,
                            sp.w, sp.i, sp.live)
     dx, dy, dz, ux, uy, uz, w, i, live = moved
     live = live & (src >= 0)
     return sp.replace(dx=dx, dy=dy, dz=dz, ux=ux, uy=uy, uz=uz,
-                      w=jnp.where(live, w, 0.0), i=i, live=live)
+                      w=jnp.where(live, w, 0.0), i=i, live=live), home
+
+
+def brick_sort_p(sp: SpeciesState, g: Grid, quantum: int = 1024):
+    """brick_sort_p_home without the home map (tests / standalone use)."""
+    return brick_sort_p_home(sp, g, quantum)[0]
 
 
 def _sort_src_q(b, nb: int, N: int, quantum: int):
     """Per-OUTPUT-slot source index for the quantized brick sort (-1 for
-    gap/dead slots).
+    gap/dead slots) plus the (N // quantum,) block -> home-brick map the
+    layout implies (EXACT -- this is the assignment the kernel must chart
+    each block against until the next sort; deriving it per step from
+    drifted lane positions misassigns collectively-drifting blocks and
+    floods the outlier pass).  Returns (src, home).
 
     ONE stable key-value sort orders the lanes by brick; per-brick segment
     starts come from a vectorized searchsorted, and the quantized layout
@@ -288,7 +300,11 @@ def _sort_src_q(b, nb: int, N: int, quantum: int):
     # compact sorted order, dead lanes (key nb) dropped
     n_live = seg_start[nb]
     t_src = jnp.where(jax.lax.iota(jnp.int32, N) < n_live, sorted_src, -1)
-    return jnp.where(ok, q_src, t_src)
+    # fallback home = brick of the block's first slot (straddling minority
+    # lanes flag to the outlier pass, as before)
+    t_home = jnp.clip(b_sorted[jnp.clip(blk0, 0, N - 1)], 0, nb - 1)
+    home = jnp.where(ok, k, t_home).astype(jnp.int32)
+    return jnp.where(ok, q_src, t_src), home
 
 
 def _kernel3d(g: Grid, max_streak, P, nbx, nby, nbz, resident,
@@ -685,12 +701,20 @@ def _kernel3d(g: Grid, max_streak, P, nbx, nby, nbz, resident,
 @functools.partial(jax.jit, static_argnames=("g", "qsps", "msps",
                                              "max_streak", "block"))
 def _run3d(sps, tab_chart, acc_chart, g: Grid, qsps, msps,
-           max_streak=4, block=1024):
+           max_streak=4, block=1024, homes=None):
     """All species through ONE 3-D kernel launch: block-aligned species
     segments concatenated, per-block q/m via scalar prefetch, lane state
     packed (see ops/pallas_push._run).  Table and accumulator are
     relayouted h-major (chart_h*rows + r, 128) outside the kernel so a
-    chart is a contiguous sublane slice for streamed windows."""
+    chart is a contiguous sublane slice for streamed windows.
+
+    ``homes`` (one (capacity // block,) map per species, from
+    brick_sort_p_home) pins each block to the brick the LAST SORT placed
+    it in -- exact, drift-proof.  Without it the home is re-derived from
+    current lane positions (9-quantile majority): fine when sorting every
+    step, but a collectively-drifting block mid-sort-cycle flips its
+    majority to the neighbor brick and ~half its lanes flood the outlier
+    pass, so deck-driven multi-step-cycle runs must pass homes."""
     sps = tuple(sps)
     nbx, nby, nbz = _nb(g)
     nvp = tab_chart.shape[1]
@@ -708,7 +732,9 @@ def _run3d(sps, tab_chart, acc_chart, g: Grid, qsps, msps,
     cols = {k: [] for k in ("dx", "dy", "dz", "vox", "ux", "uy", "uz",
                             "w", "live")}
     w0s, nls, qd2s, qws, Nps = [], [], [], [], []
-    for sp, qsp, msp in zip(sps, qsps, msps):
+    if homes is None:
+        homes = (None,) * len(sps)
+    for sp, qsp, msp, home_in in zip(sps, qsps, msps, homes):
         N = sp.capacity
         Np = _round_up(N, block)
         Nps.append(Np)
@@ -726,26 +752,26 @@ def _run3d(sps, tab_chart, acc_chart, g: Grid, qsps, msps,
         cols["w"].append(pad(sp.w))
         cols["live"].append(live.astype(jnp.float32))
 
-        # Every block maps to its MAJORITY brick: median of 9 quantile-
-        # sampled live lanes' brick ids.  A single median-slot lane is a
-        # random block member (slot order within a brick is arbitrary),
-        # and once IT drifts into a neighbor brick the whole block gets
-        # charted against the wrong brick and ~half its lanes leave the
-        # chart -- measured 7->35 misassigned blocks (of 192) across a
-        # 2-D sort cycle at 64^2x64ppc, flooding the outlier pass every
-        # step (the reason charts lost to windows at every tier).  The
-        # majority brick is within one brick of every lane's position, so
-        # the halo covers the whole inter-sort drift and steady-state
-        # flags drop to the genuine CFL tail.
         livb = live.reshape(nb, block)
-        vb = vox.reshape(nb, block)
         nlive = jnp.sum(livb, axis=1)
-        fr = jnp.asarray([(2 * j + 1) / 18.0 for j in range(9)],
-                         jnp.float32)
-        idxs = jnp.clip((nlive[:, None] * fr[None, :]).astype(jnp.int32),
-                        0, block - 1)                    # (nb, 9)
-        samp = jnp.take_along_axis(vb, idxs, 1)          # sampled voxels
-        home = jnp.sort(brick_of(samp, g), axis=1)[:, 4]
+        if home_in is not None:
+            # sticky sort-time assignment (see docstring); pad blocks past
+            # capacity (Np > N) are dead and clip to the last brick
+            home = jnp.pad(home_in, (0, nb - home_in.shape[0]),
+                           constant_values=0)
+        else:
+            # fallback: majority brick from 9 quantile-sampled live lanes
+            # (a single median lane is a random block member; the sorted
+            # median-of-9 is within one brick of every lane, so the halo
+            # covers one step of drift)
+            vb = vox.reshape(nb, block)
+            fr = jnp.asarray([(2 * j + 1) / 18.0 for j in range(9)],
+                             jnp.float32)
+            idxs = jnp.clip(
+                (nlive[:, None] * fr[None, :]).astype(jnp.int32),
+                0, block - 1)                            # (nb, 9)
+            samp = jnp.take_along_axis(vb, idxs, 1)      # sampled voxels
+            home = jnp.sort(brick_of(samp, g), axis=1)[:, 4]
         w0s.append(jnp.clip(home * S, 0, nvp - S))
         nls.append(nlive)
         qd2s.append(jnp.full((nb,), (qsp * g.dt) / (2.0 * msp * g.cvac),
@@ -827,11 +853,13 @@ def fused_push3d(sp: SpeciesState, tab_chart, acc_chart, g: Grid,
 
 
 def fused_push3d_multi(sps, tab_chart, acc_chart, g: Grid, qms,
-                       max_streak: int = 4, block: int = 1024):
+                       max_streak: int = 4, block: int = 1024,
+                       homes=None):
     """All species through ONE 3-D brick-chart launch; ``qms`` is a
-    sequence of (charge, mass).  Returns (species_list, acc_chart,
+    sequence of (charge, mass), ``homes`` the per-species sort-time block
+    maps (brick_sort_p_home).  Returns (species_list, acc_chart,
     oflag_list, oow)."""
     return _run3d(tuple(sps), tab_chart, acc_chart, g,
                   tuple(float(q) for q, _ in qms),
                   tuple(float(m) for _, m in qms),
-                  max_streak, block)
+                  max_streak, block, homes=homes)
