@@ -963,23 +963,33 @@ class Simulation:
                     # drifting blocks mid-sort-cycle and floods the
                     # outlier pass (measured ~150 ms/step at 256^2x64).
                     have_homes = "_chart_home0" in diag
-                    for k in range(len(sp_params)):
-                        if have_homes and sortK == 1:
+                    nsp = len(sp_params)
+                    if have_homes and sortK == 1:
+                        for k in range(nsp):
                             species[k], diag[f"_chart_home{k}"] = \
                                 PP3.brick_sort_p_home(species[k], g)
-                        elif have_homes:
-                            species[k], diag[f"_chart_home{k}"] = \
-                                jax.lax.cond(
-                                    step % sortK == 0,
-                                    lambda s, h: PP3.brick_sort_p_home(
-                                        s, g),
-                                    lambda s, h: (s, h),
-                                    species[k], diag[f"_chart_home{k}"])
-                        else:   # pre-home checkpoint: per-step fallback
-                            species[k] = jax.lax.cond(
-                                step % sortK == 0,
-                                lambda s: PP3.brick_sort_p(s, g),
-                                lambda s: s, species[k])
+                    elif have_homes and nsp:
+                        # ONE cond for all species (a lax.cond costs
+                        # ~28 us on this chip even inside a scan)
+                        def _sort_all(ss, hh):
+                            out = [PP3.brick_sort_p_home(s, g) for s in ss]
+                            return (tuple(o[0] for o in out),
+                                    tuple(o[1] for o in out))
+                        species_t, homes_t = jax.lax.cond(
+                            step % sortK == 0, _sort_all,
+                            lambda ss, hh: (ss, hh),
+                            tuple(species),
+                            tuple(diag[f"_chart_home{k}"]
+                                  for k in range(nsp)))
+                        species = list(species_t)
+                        for k in range(nsp):
+                            diag[f"_chart_home{k}"] = homes_t[k]
+                    elif nsp:   # pre-home checkpoint: per-step fallback
+                        species = list(jax.lax.cond(
+                            step % sortK == 0,
+                            lambda ss: tuple(PP3.brick_sort_p(s, g)
+                                             for s in ss),
+                            lambda ss: ss, tuple(species)))
                     if sp_params:
                         homes = ([diag[f"_chart_home{k}"]
                                   for k in range(len(sp_params))]
@@ -990,12 +1000,15 @@ class Simulation:
                             max_streak=self.max_streak, homes=homes)
                         species = list(species)
                 else:
-                    for k in range(len(sp_params)):
-                        species[k] = jax.lax.cond(
+                    # ONE cond for every species' sort (a lax.cond costs
+                    # ~28 us on this chip even inside a scanned step)
+                    if sp_params:
+                        species = list(jax.lax.cond(
                             step % sortK == 0,
-                            lambda s: PP.bucket_sort_p(
-                                PP.remap_ghost_voxels(s, g), g, pack=1),
-                            lambda s: s, species[k])
+                            lambda ss: tuple(PP.bucket_sort_p(
+                                PP.remap_ghost_voxels(s, g), g, pack=1)
+                                for s in ss),
+                            lambda ss: ss, tuple(species)))
                     # ALL species through one kernel launch (species-pure
                     # blocks carry their own q/m via scalar prefetch):
                     # halves the call-fixed table-DMA + prep cost
@@ -1006,29 +1019,43 @@ class Simulation:
                             max_streak=self.max_streak, window=window,
                             vbc_mark=vbc is not None)
                         species = list(species)
-                for k, spp in enumerate(sp_params):
-                    sp, oflag = species[k], oflags[k]
-                    # outlier lanes (stale sort / wall crossers) are rare;
-                    # self-gates on a lax.cond
-                    okey = (jax.random.fold_in(bkey, k)
-                            if bkey is not None else None)
-                    remap3 = (lambda s: s) if fused3 else None
-                    if g.sharded:
+                remap3 = (lambda s: s) if fused3 else None
+                if g.sharded:
+                    for k, spp in enumerate(sp_params):
                         # remote/custom pends go to the deck-level
                         # boundary_p below (migration + edge BCs)
                         sp, acc_small, rhob, pend, disp = PP.outlier_pass(
-                            sp, oflag, fcoef_T, g, spp.q, spp.m,
-                            acc_small, rhob, self.max_streak,
+                            species[k], oflags[k], fcoef_T, g, spp.q,
+                            spp.m, acc_small, rhob, self.max_streak,
                             return_pends=True, remap_fn=remap3, vbc=vbc)
                         pends.append(pend)
                         disps.append(disp)
-                    else:
-                        sp, acc_small, rhob, diag = PP.outlier_pass(
-                            sp, oflag, fcoef_T, g, spp.q, spp.m,
-                            acc_small, rhob, self.max_streak, spp=spp,
-                            custom_handlers=self.pbc_handlers, key=okey,
-                            remap_fn=remap3, diag=diag, vbc=vbc)
-                    species[k] = sp
+                        species[k] = sp
+                elif sp_params:
+                    # outlier lanes (stale sort / wall crossers) are rare:
+                    # ONE joint cond gates every species' replay pass
+                    # (per-species conds cost ~28 us each on this chip)
+                    any_out = jnp.zeros((), bool)
+                    for of in oflags:
+                        any_out = any_out | jnp.any(of == 1)
+
+                    def _outlier_all(c):
+                        ss, acc_small, rhob, dg = c
+                        ss = list(ss)
+                        for k, spp in enumerate(sp_params):
+                            okey = (jax.random.fold_in(bkey, k)
+                                    if bkey is not None else None)
+                            ss[k], acc_small, rhob, dg = PP.outlier_pass(
+                                ss[k], oflags[k], fcoef_T, g, spp.q,
+                                spp.m, acc_small, rhob, self.max_streak,
+                                spp=spp, custom_handlers=self.pbc_handlers,
+                                key=okey, remap_fn=remap3, diag=dg,
+                                vbc=vbc, gate=False)
+                        return tuple(ss), acc_small, rhob, dg
+                    species_t, acc_small, rhob, diag = jax.lax.cond(
+                        any_out, _outlier_all, lambda c: c,
+                        (tuple(species), acc_small, rhob, diag))
+                    species = list(species_t)
                 # --- emission / user injection (advance.cc:58-60, before
                 # boundary_p like the reference): runs on the standard-
                 # layout accumulator/interpolator ---
@@ -1123,24 +1150,36 @@ class Simulation:
                     f = F.clean_div_e(f, g, m)
                 return f
 
-            if self.clean_div_e_interval > 0:
-                f = jax.lax.cond(step % self.clean_div_e_interval == 0,
-                                 clean_e, lambda f: f, f)
-
             def clean_b(f):
                 for _ in range(self.num_div_b_round):
                     f = F.compute_div_b_err(f, g)
                     f = F.clean_div_b(f, g)
                 return f
 
-            if self.clean_div_b_interval > 0:
-                f = jax.lax.cond(step % self.clean_div_b_interval == 0,
-                                 clean_b, lambda f: f, f)
-
-            if self.sync_shared_interval > 0:
-                f = jax.lax.cond(step % self.sync_shared_interval == 0,
-                                 lambda f: F.synchronize_tang_e_norm_b(f, g)[0],
-                                 lambda f: f, f)
+            ce = self.clean_div_e_interval
+            cb = self.clean_div_b_interval
+            sy = self.sync_shared_interval
+            if ce > 0 and ce == cb == sy:
+                # common deck idiom (all three on one cadence): ONE cond --
+                # each lax.cond costs ~28 us on this chip even inside a
+                # scanned step (measured; see trace_step.py)
+                f = jax.lax.cond(
+                    step % ce == 0,
+                    lambda f: F.synchronize_tang_e_norm_b(
+                        clean_b(clean_e(f)), g)[0],
+                    lambda f: f, f)
+            else:
+                if ce > 0:
+                    f = jax.lax.cond(step % ce == 0, clean_e,
+                                     lambda f: f, f)
+                if cb > 0:
+                    f = jax.lax.cond(step % cb == 0, clean_b,
+                                     lambda f: f, f)
+                if sy > 0:
+                    f = jax.lax.cond(
+                        step % sy == 0,
+                        lambda f: F.synchronize_tang_e_norm_b(f, g)[0],
+                        lambda f: f, f)
 
             return state.replace(fields=f, species=tuple(species),
                                  step=step + 1, rng=rng,

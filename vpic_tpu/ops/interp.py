@@ -35,6 +35,40 @@ FOURTH = 0.25
 HALF = 0.5
 
 
+def _interp_comb_matrix():
+    """(18, 42) constant combination matrix for the batched interpolator
+    build: row k dots the (7 shifts x 6 fields) slice stack into
+    coefficient k.  Shift order: 0, +x, +y, +z, +xy, +xz, +yz; column
+    index = shift * 6 + field (ex ey ez cbx cby cbz).  numpy only (no
+    backend touch at import)."""
+    import numpy as np
+    C = np.zeros((18, 42), np.float32)
+    ax_shift = {0: 1, 1: 2, 2: 3}              # grid axis -> shift index
+    both_shift = {(1, 2): 6, (2, 0): 5, (0, 1): 4}
+    row = 0
+    for fi, ax1, ax2 in ((0, 1, 2), (1, 2, 0), (2, 0, 1)):
+        s0, s1 = 0, ax_shift[ax1]
+        s2 = ax_shift[ax2]
+        s3 = both_shift[(ax1, ax2)]
+        col = lambda s: s * 6 + fi
+        # (w3+w0)+(w1+w2), (w3-w0)+(w1-w2), (w3-w0)-(w1-w2), (w3+w0)-(w1+w2)
+        for signs in ((1, 1, 1, 1), (-1, 1, 1, -1),
+                      (-1, 1, -1, 1), (1, 1, -1, -1)):
+            for s, sg in zip((s0, s3, s1, s2), signs):
+                C[row, col(s)] = FOURTH * sg
+            row += 1
+    for fi, ax in ((3, 0), (4, 1), (5, 2)):
+        col = lambda s: s * 6 + fi
+        C[row, col(0)] = HALF
+        C[row, col(ax_shift[ax])] = HALF
+        row += 1
+        C[row, col(0)] = -HALF
+        C[row, col(ax_shift[ax])] = HALF
+        row += 1
+    assert row == 18
+    return C
+
+
 def load_interpolator(f: FieldState, g: Grid):
     """Build the (nv, 18) interpolation-coefficient table.
 
@@ -95,58 +129,51 @@ def load_interpolator_T(f: FieldState, g: Grid, nvp: int, mark=None,
     ``mark`` optionally is an interior (nz, ny, nx) 0/1 mask of cells with
     per-voxel custom particle-BC faces; it rides spare row 18 (ghost-
     expanded like the field rows) so the fused kernel gets the flag from
-    the same one-hot gather."""
+    the same one-hot gather.
+
+    BATCHED build: this runs EVERY step, and the per-component form (18
+    components x slices/arith/concats on tiny (nz,ny,nx) planes) lowered
+    to ~200 dispatch-bound XLA ops costing 0.82 ms/step at 64^2 -- more
+    than the deposit matmuls of the push itself.  Instead: ONE stack of
+    the six field arrays, SEVEN shifted slices of the stacked tensor, and
+    one constant (18, 42) HIGHEST-precision matmul emits every
+    coefficient plane at once; the ghost expansion is applied to the
+    whole (18[+1], nz, ny, nx) stack in <= 3 concats."""
     # padded to 24 rows (18 used): DMA slices need 8-sublane alignment
-    t = _sl3(INT, INT, INT)
-
-    def quads(a, ax1, ax2):
-        sl1 = [INT, INT, INT]
-        sl1[2 - ax1] = HI
-        sl2 = [INT, INT, INT]
-        sl2[2 - ax2] = HI
-        sl3_ = [INT, INT, INT]
-        sl3_[2 - ax1] = HI
-        sl3_[2 - ax2] = HI
-        w0, w1 = a[t], a[tuple(sl1)]
-        w2, w3 = a[tuple(sl2)], a[tuple(sl3_)]
-        return (FOURTH * ((w3 + w0) + (w1 + w2)),
-                FOURTH * ((w3 - w0) + (w1 - w2)),
-                FOURTH * ((w3 - w0) - (w1 - w2)),
-                FOURTH * ((w3 + w0) - (w1 + w2)))
-
-    def lin(a, ax):
-        sl1 = [INT, INT, INT]
-        sl1[2 - ax] = HI
-        w0, w1 = a[t], a[tuple(sl1)]
-        return HALF * (w1 + w0), HALF * (w1 - w0)
-
-    comps = (*quads(f.ex, 1, 2), *quads(f.ey, 2, 0), *quads(f.ez, 0, 1),
-             *lin(f.cbx, 0), *lin(f.cby, 1), *lin(f.cbz, 2))
+    F = jnp.stack([f.ex, f.ey, f.ez, f.cbx, f.cby, f.cbz])  # (6,NZ,NY,NX)
+    NZ, NY, NX = g.NZ, g.NY, g.NX
+    # interior slice shifted by (sx, sy, sz) in grid axes (array axes
+    # reversed); shift-major x field-major stack -> S row s*6 + fi
+    shifts = ((0, 0, 0), (1, 0, 0), (0, 1, 0), (0, 0, 1),
+              (1, 1, 0), (1, 0, 1), (0, 1, 1))
+    Ss = [jax.lax.slice(F, (0, 1 + sz, 1 + sy, 1 + sx),
+                        (6, NZ - 1 + sz, NY - 1 + sy, NX - 1 + sx))
+          for (sx, sy, sz) in shifts]
+    S = jnp.stack(Ss).reshape(42, -1)          # (42, nz*ny*nx)
+    C = _interp_comb_matrix()                  # (18, 42) constant
+    comps18 = jnp.dot(C, S, precision=jax.lax.Precision.HIGHEST)
+    nz, ny, nx = NZ - 2, NY - 2, NX - 2
+    full = comps18.reshape(18, nz, ny, nx)
+    if mark is not None:
+        full = jnp.concatenate(
+            [full, jnp.asarray(mark, jnp.float32)[None]], axis=0)
     # Add ghost layers per axis: periodic axes WRAP (so the fused push can
-    # let particles *reside* in ghost cells between sorts; their deposits are
-    # folded back by fold_ghost_acc_T), others zero.  Pure pad/concat + one
-    # stack -- no incremental full-array updates (those cost ~2 ms/step).
+    # let particles *reside* in ghost cells between sorts; their deposits
+    # are folded back by fold_ghost_acc_T), others zero.
     from ..grid import P_PERIODIC
     from .pallas_push import _eff_bc
     periodic = [_eff_bc(g, ax, -1) == P_PERIODIC for ax in (0, 1, 2)]
-
-    def expand(a):
-        for ax in (0, 1, 2):            # grid x, y, z -> array axes 2, 1, 0
-            aa = 2 - ax
-            if periodic[ax]:
-                lo = jax.lax.slice_in_dim(a, a.shape[aa] - 1, a.shape[aa],
-                                          axis=aa)
-                hi = jax.lax.slice_in_dim(a, 0, 1, axis=aa)
-                a = jnp.concatenate([lo, a, hi], axis=aa)
-            else:
-                pw = [(0, 0)] * 3
-                pw[aa] = (1, 1)
-                a = jnp.pad(a, pw)
-        return a
-
-    if mark is not None:
-        comps = comps + (jnp.asarray(mark, jnp.float32),)
-    full = jnp.stack([expand(c) for c in comps])  # (18[+1], NZ, NY, NX)
+    for ax in (0, 1, 2):            # grid x, y, z -> array axes 3, 2, 1
+        aa = 3 - ax
+        if periodic[ax]:
+            lo = jax.lax.slice_in_dim(full, full.shape[aa] - 1,
+                                      full.shape[aa], axis=aa)
+            hi = jax.lax.slice_in_dim(full, 0, 1, axis=aa)
+            full = jnp.concatenate([lo, full, hi], axis=aa)
+        else:
+            pw = [(0, 0)] * 4
+            pw[aa] = (1, 1)
+            full = jnp.pad(full, pw)
     flat = full.reshape(full.shape[0], g.nv)
     if mark is not None:
         flat = jnp.concatenate(

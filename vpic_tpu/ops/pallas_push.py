@@ -880,7 +880,8 @@ def outlier_pass(sp: SpeciesState, oflag, fcoef_T, g: Grid,
                  qsp: float, msp: float, acc_small, rhob_flat,
                  max_streak: int = 4, cap: int = 0, spp=None,
                  custom_handlers=None, key=None, return_pends: bool = False,
-                 remap_fn=None, encode_fn=None, diag=None, vbc=None):
+                 remap_fn=None, encode_fn=None, diag=None, vbc=None,
+                 gate: bool = True):
     """Redo entry-guard-flagged lanes through the general XLA advance_p on
     a compacted fixed-size buffer, under a lax.cond so the common
     no-outlier step pays (nearly) nothing.  Two lane classes land here,
@@ -935,13 +936,17 @@ def outlier_pass(sp: SpeciesState, oflag, fcoef_T, g: Grid,
     # batch-process until no flags remain (a step with more outliers than
     # cap just takes extra rounds instead of silently stalling lanes);
     # the outer cond keeps the common no-outlier step from even building
-    # the while carry.
+    # the while carry.  ``gate=False`` skips that cond for callers that
+    # provide their own joint gate over several species (each lax.cond
+    # costs ~28 us on this chip; the ungated while exits immediately on
+    # an empty flag set).
     init = (sp, acc_small, rhob_flat, diag_c, oflag == 1, pend0,
             (zeros, zeros, zeros), jnp.int32(0))
-    out = jax.lax.cond(
-        jnp.any(oflag == 1),
-        lambda a: jax.lax.while_loop(lambda c: jnp.any(c[4]), body, a),
-        lambda a: a, init)
+    run = lambda a: jax.lax.while_loop(lambda c: jnp.any(c[4]), body, a)
+    if gate:
+        out = jax.lax.cond(jnp.any(oflag == 1), run, lambda a: a, init)
+    else:
+        out = run(init)
     sp, acc_small, rhob_flat, diag_c, _, pend, disp, _ = out
     if return_pends:
         return sp, acc_small, rhob_flat, pend, disp
