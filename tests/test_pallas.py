@@ -110,3 +110,26 @@ def test_bucket_sort_sources_large_nb():
         for key in np.unique(b)[:20]:
             idx = src[bs == key]
             assert (np.diff(idx) > 0).all()                # stable
+
+
+def test_odd_window_w0_alignment():
+    """Forced windows whose HALF is not a multiple of 128 (e.g. 1408, or
+    pick_window's 2688 at 128^2) must still produce 128-aligned w0: the
+    old (mid//128)*128 - window//2 form left w0 64-misaligned, which
+    silently shifts the kernel's h-major table slice by 64 voxels (wrong
+    fields for every lane).  Regression: fused path at window 1408 must
+    track the XLA path."""
+    p = harris.HarrisParams(nx=32, ny=32, nppc=4, Lx=16.0, Ly=16.0)
+    sim1 = harris.build(p)
+    sim1.use_pallas = False
+    sim2 = harris.build(p)
+    sim2.use_pallas = True
+    sim2.pallas_window = 1408          # 1408 // 2 = 704 = 5.5 * 128
+    s1, s2 = sim1.initialize(), sim2.initialize()
+    st1 = jax.jit(sim1.make_advance())
+    st2 = jax.jit(sim2.make_advance())
+    for _ in range(6):
+        s1, s2 = st1(s1), st2(s2)
+    e1 = np.asarray(sim1.energies(s1))
+    e2 = np.asarray(sim2.energies(s2))
+    assert np.abs(e1 - e2).max() / e1.sum() < 1e-6

@@ -101,6 +101,12 @@ class Simulation:
         # 2-D brick charts ("auto" = only where the window kernel's
         # NX-proportional window gets fat; see make_advance)
         self.pallas_chart2d = "auto"
+        # window override (lanes, multiple of 128; 0 = pick_window's
+        # worst-case drift budget).  The kernel's MXU work scales with
+        # window/128, and pick_window budgets ±(sortK-1) y-crossings of
+        # drift that thermal decks never realize; a tighter window only
+        # flags the tail lanes into the exact outlier replay.
+        self.pallas_window = 0
         # User hooks (deck sections): callables state -> state pieces.
         self.user_field_injection = None      # (FieldState, step) -> FieldState
         self.user_current_injection = None    # (FieldState, step) -> FieldState
@@ -941,7 +947,7 @@ class Simulation:
                     tab_chart = PP3.to_chart_T(fcoef_T, g)
                     acc_T = jnp.zeros((16, PP3.chart_width(g)), jnp.float32)
                 else:
-                    window = PP.pick_window(g, sortK)
+                    window = self.pallas_window or PP.pick_window(g, sortK)
                     nvp = PP.table_width(g, window)
                     fcoef_T = I.load_interpolator_T(f, g, nvp,
                                                     mark=vbc_mark)

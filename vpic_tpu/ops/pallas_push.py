@@ -691,7 +691,11 @@ def _run(sps, fcoef_T, acc_T, g: Grid, qsps, msps,
         lo = take(jnp.clip(nlive // 8, 0, block - 1))
         hi = take(jnp.clip((7 * nlive) // 8, 0, block - 1))
         mid = (lo + hi) // 2
-        w0s.append(jnp.clip((mid // 128) * 128 - window // 2,
+        # align the RESULT, not mid: when window//2 is not a multiple of
+        # 128 (e.g. pick_window 2688 at 128^2 -> 1344) the old
+        # (mid//128)*128 - window//2 form left w0 64-misaligned, silently
+        # breaking the kernel's h-major table slice (s24 floors w0//128)
+        w0s.append(jnp.clip(((mid - window // 2) // 128) * 128,
                             0, nvp - window))
         nls.append(nlive)
         qd2s.append(jnp.full((nb,), (qsp * g.dt) / (2.0 * msp * g.cvac),
