@@ -47,15 +47,20 @@ from .state import SpeciesParams, SpeciesState
 
 def shuffle_sort(sp: SpeciesState, key) -> SpeciesState:
     """Sort by voxel with a random tiebreak: a per-cell shuffle (the analogue
-    of the in-cell shuffle the deck-level T&A operator performs)."""
+    of the in-cell shuffle the deck-level T&A operator performs).  Dead
+    lanes sort LAST (live stays a prefix -- the deck's extent sorts rely
+    on this).  Lane state moves as ONE packed 8-column row gather: nine
+    per-column takes each pay the full per-row gather floor, ~9x this."""
+    from .ops.push import gather_sp_rows
     r = (jax.random.bits(key, (sp.capacity,), jnp.uint32) >> 1) \
         .astype(jnp.int32)
     k = jnp.where(sp.alive, sp.i, jnp.int32(2 ** 30))
-    order = jnp.lexsort((r, k))
-    take = lambda a: a[order]
-    return sp.replace(dx=take(sp.dx), dy=take(sp.dy), dz=take(sp.dz),
-                      i=take(sp.i), ux=take(sp.ux), uy=take(sp.uy),
-                      uz=take(sp.uz), w=take(sp.w), live=take(sp.live))
+    order = jnp.lexsort((r, k)).astype(jnp.int32)
+    dx, dy, dz, ux, uy, uz, w, i, live = gather_sp_rows(
+        order, sp.dx, sp.dy, sp.dz, sp.ux, sp.uy, sp.uz, sp.w, sp.i,
+        sp.live)
+    return sp.replace(dx=dx, dy=dy, dz=dz, i=i, ux=ux, uy=uy, uz=uz,
+                      w=w, live=live)
 
 
 def cell_partition(sp: SpeciesState, g: Grid):

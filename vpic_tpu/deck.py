@@ -903,6 +903,21 @@ class Simulation:
         #   pallas_chart2d=True forces charts (parity-tested).
         use_fused, fused2, fused3, sortK = self._fused_mode()
 
+        # Static per-species LIVE-slot bounds for extent sorts: the sort's
+        # row gather pays a flat ~6.4 ns/row latency floor over the whole
+        # capacity, so skipping the dead slack (capacity is typically
+        # ~1.5x the injected count) cuts sort cost ~proportionally.  Valid
+        # only when nothing can GROW the live count or move a live lane
+        # past it: kills (absorbing walls, custom handlers) happen in
+        # place, and every lane-moving op in the package -- both fused
+        # sorts AND the collision shuffle_sort -- packs live lanes first,
+        # so live slots stay inside the initial-injection bound forever.
+        # Migration (sharded), emission, injection, and unknown user
+        # collision callbacks can grow/relocate: full-capacity sorts then.
+        no_growth = (not g.sharded and not emitters
+                     and u_pinject is None and u_collide is None)
+        sort_extents = [max(len(st.xs), 1) if no_growth else 0
+                        for st in self.species]
 
         def advance(state: SimState) -> SimState:
             f = state.fields
@@ -973,12 +988,15 @@ class Simulation:
                     if have_homes and sortK == 1:
                         for k in range(nsp):
                             species[k], diag[f"_chart_home{k}"] = \
-                                PP3.brick_sort_p_home(species[k], g)
+                                PP3.brick_sort_p_home(
+                                    species[k], g, extent=sort_extents[k])
                     elif have_homes and nsp:
                         # ONE cond for all species (a lax.cond costs
                         # ~28 us on this chip even inside a scan)
                         def _sort_all(ss, hh):
-                            out = [PP3.brick_sort_p_home(s, g) for s in ss]
+                            out = [PP3.brick_sort_p_home(
+                                       s, g, extent=sort_extents[k])
+                                   for k, s in enumerate(ss)]
                             return (tuple(o[0] for o in out),
                                     tuple(o[1] for o in out))
                         species_t, homes_t = jax.lax.cond(
@@ -993,8 +1011,10 @@ class Simulation:
                     elif nsp:   # pre-home checkpoint: per-step fallback
                         species = list(jax.lax.cond(
                             step % sortK == 0,
-                            lambda ss: tuple(PP3.brick_sort_p(s, g)
-                                             for s in ss),
+                            lambda ss: tuple(
+                                PP3.brick_sort_p(s, g,
+                                                 extent=sort_extents[k])
+                                for k, s in enumerate(ss)),
                             lambda ss: ss, tuple(species)))
                     if sp_params:
                         homes = ([diag[f"_chart_home{k}"]
@@ -1012,8 +1032,9 @@ class Simulation:
                         species = list(jax.lax.cond(
                             step % sortK == 0,
                             lambda ss: tuple(PP.bucket_sort_p(
-                                PP.remap_ghost_voxels(s, g), g, pack=1)
-                                for s in ss),
+                                PP.remap_ghost_voxels(s, g), g, pack=1,
+                                extent=sort_extents[k])
+                                for k, s in enumerate(ss)),
                             lambda ss: ss, tuple(species)))
                     # ALL species through one kernel launch (species-pure
                     # blocks carry their own q/m via scalar prefetch):

@@ -147,7 +147,7 @@ def table_width(g: Grid, window: int = DEF_WINDOW) -> int:
 
 
 def bucket_sort_p(sp: SpeciesState, g: Grid, bucket: int = BUCKET,
-                  pack: int = 1):
+                  pack: int = 1, extent: int = 0):
     """O(N) stable counting sort by coarse voxel bucket (dead slots last).
 
     The fused kernel only needs particles grouped within its voxel window,
@@ -161,29 +161,46 @@ def bucket_sort_p(sp: SpeciesState, g: Grid, bucket: int = BUCKET,
     so pack-4 cuts the dominant gather+scatter ~4x.  Group members sit in
     adjacent buckets after any previous sort, so window margins absorb the
     straddle; a stray member (e.g. a fresh injection into a recycled slot)
-    is entry-guard-flagged and replayed exactly by the outlier pass."""
+    is entry-guard-flagged and replayed exactly by the outlier pass.
+
+    ``extent`` (static) bounds the LIVE slots: when the deck can prove
+    live lanes never grow or reorder (no migration/emission/injection/
+    collisions -- the deck passes its host-side injection count), only
+    the first extent slots are sorted and row-gathered and the dead tail
+    streams through untouched.  Row gathers pay a per-row latency floor
+    (~6.4 ns/row), so skipping a 1.5x-capacity species' slack is a ~30%
+    sort cut; this sort packs live first, so live lanes stay inside the
+    extent for every later step."""
     N = sp.capacity
-    while pack > 1 and N % pack:
+    E = min(_round_up(extent, 1024), N) if extent else N
+    while pack > 1 and E % pack:
         pack //= 2
+    sl = (lambda a: a[:E]) if E < N else (lambda a: a)
     nb = _round_up(g.nv, bucket) // bucket
-    b = jnp.where(sp.live, sp.i // bucket, nb)
+    b = jnp.where(sl(sp.live), sl(sp.i) // bucket, nb)
     if pack > 1:
-        b = jnp.min(b.reshape(N // pack, pack), axis=1)
+        b = jnp.min(b.reshape(E // pack, pack), axis=1)
     # Per-output-slot SOURCE index from ONE stable key-value sort: measured
     # 2x cheaper than counting-sort destinations + inverse-permutation
     # scatter (2.27 vs 3.37 ms at 196k lanes -- scatters are latency-bound
     # on this chip) and bit-identical (both stable by the same key).
     src = jax.lax.sort(
-        (b, jax.lax.iota(jnp.int32, N // pack)), num_keys=1,
+        (b, jax.lax.iota(jnp.int32, E // pack)), num_keys=1,
         is_stable=True)[1]
 
     # Move rows with a GATHER by the per-slot source: on this chip a row
     # gather runs ~16x faster than the equivalent row scatter (80 ms ->
     # 5+5 ms at 786k rows), so movers must always be gathers.
     from .push import gather_sp_rows
-    dx, dy, dz, ux, uy, uz, w, i, live = gather_sp_rows(
-        src, sp.dx, sp.dy, sp.dz, sp.ux, sp.uy, sp.uz,
-        sp.w, sp.i, sp.live, pack=pack)
+    moved = gather_sp_rows(
+        src, sl(sp.dx), sl(sp.dy), sl(sp.dz), sl(sp.ux), sl(sp.uy),
+        sl(sp.uz), sl(sp.w), sl(sp.i), sl(sp.live), pack=pack)
+    if E < N:
+        olds = (sp.dx, sp.dy, sp.dz, sp.ux, sp.uy, sp.uz, sp.w, sp.i,
+                sp.live)
+        moved = tuple(jnp.concatenate([m, o[E:]])
+                      for m, o in zip(moved, olds))
+    dx, dy, dz, ux, uy, uz, w, i, live = moved
     return sp.replace(dx=dx, dy=dy, dz=dz, ux=ux, uy=uy, uz=uz, w=w,
                       i=i, live=live)
 

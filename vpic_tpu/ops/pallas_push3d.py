@@ -229,40 +229,65 @@ def brick_of(sp_i, g: Grid):
                                       + nby * ((zi - 1) // B[2])))
 
 
-def brick_sort_p_home(sp: SpeciesState, g: Grid, quantum: int = 1024):
+def brick_sort_p_home(sp: SpeciesState, g: Grid, quantum: int = 1024,
+                      extent: int = 0):
     """Counting sort by home brick with per-brick slot ranges quantized up
     to the kernel block size (every block -> one brick).  Dead lanes are
     dropped (they carry no information); pad slots become dead.  Falls
     back to tight packing when quantization would overflow capacity.
     Returns (sorted_species, (capacity // quantum,) block home-brick map)
     -- the map is the layout's OWN block -> brick assignment and stays the
-    kernel's charting authority until the next sort."""
+    kernel's charting authority until the next sort.
+
+    ``extent`` (static) bounds the LIVE slots when the deck can prove no
+    growth/reorder between sorts (see pallas_push.bucket_sort_p): the
+    row gather's ~6.4 ns/row floor then skips the capacity slack -- the
+    3-D path sorts EVERY step, so this is a direct step-cost cut.  The
+    quantization slack (nbricks * quantum) is added here so the
+    quantized layout never overflows the sorted extent."""
     from .push import gather_sp_rows
     N = sp.capacity
+    E = (min(_round_up(extent + nbricks(g) * quantum, quantum), N)
+         if extent else N)
+    sl = (lambda a: a[:E]) if E < N else (lambda a: a)
     nb = nbricks(g)
-    b = jnp.where(sp.live, brick_of(sp.i, g), nb)
-    src, home = _sort_src_q(b, nb, N, quantum)
+    b = jnp.where(sl(sp.live), brick_of(sl(sp.i), g), nb)
+    src, home = _sort_src_q(b, nb, E, quantum, nhome=N // quantum)
     moved = gather_sp_rows(jnp.maximum(src, 0),
-                           sp.dx, sp.dy, sp.dz, sp.ux, sp.uy, sp.uz,
-                           sp.w, sp.i, sp.live)
+                           sl(sp.dx), sl(sp.dy), sl(sp.dz), sl(sp.ux),
+                           sl(sp.uy), sl(sp.uz), sl(sp.w), sl(sp.i),
+                           sl(sp.live))
     dx, dy, dz, ux, uy, uz, w, i, live = moved
     live = live & (src >= 0)
+    w = jnp.where(live, w, 0.0)
+    if E < N:
+        olds = (sp.dx, sp.dy, sp.dz, sp.ux, sp.uy, sp.uz,
+                jnp.where(sp.live, sp.w, 0.0), sp.i, sp.live)
+        join = lambda m, o: jnp.concatenate([m, o[E:]])
+        dx, dy, dz, ux, uy, uz, w, i = (
+            join(m, o) for m, o in zip(
+                (dx, dy, dz, ux, uy, uz, w, i), olds[:8]))
+        # tail slots are dead by the extent contract
+        live = jnp.concatenate([live, jnp.zeros(N - E, bool)])
     return sp.replace(dx=dx, dy=dy, dz=dz, ux=ux, uy=uy, uz=uz,
-                      w=jnp.where(live, w, 0.0), i=i, live=live), home
+                      w=w, i=i, live=live), home
 
 
-def brick_sort_p(sp: SpeciesState, g: Grid, quantum: int = 1024):
+def brick_sort_p(sp: SpeciesState, g: Grid, quantum: int = 1024,
+                 extent: int = 0):
     """brick_sort_p_home without the home map (tests / standalone use)."""
-    return brick_sort_p_home(sp, g, quantum)[0]
+    return brick_sort_p_home(sp, g, quantum, extent)[0]
 
 
-def _sort_src_q(b, nb: int, N: int, quantum: int):
+def _sort_src_q(b, nb: int, N: int, quantum: int, nhome: int = 0):
     """Per-OUTPUT-slot source index for the quantized brick sort (-1 for
-    gap/dead slots) plus the (N // quantum,) block -> home-brick map the
+    gap/dead slots) plus the (nhome,) block -> home-brick map the
     layout implies (EXACT -- this is the assignment the kernel must chart
     each block against until the next sort; deriving it per step from
     drifted lane positions misassigns collectively-drifting blocks and
-    floods the outlier pass).  Returns (src, home).
+    floods the outlier pass).  Returns (src, home).  ``nhome`` >
+    N // quantum extends the home map over a dead capacity tail (extent
+    sorts): those blocks are empty, their home value is arbitrary.
 
     ONE stable key-value sort orders the lanes by brick; per-brick segment
     starts come from a vectorized searchsorted, and the quantized layout
@@ -283,7 +308,7 @@ def _sort_src_q(b, nb: int, N: int, quantum: int):
     qoff = qend - totq
     ok = qend[-1] <= N if nb else jnp.bool_(True)
 
-    nblk = (N + quantum - 1) // quantum
+    nblk = max((N + quantum - 1) // quantum, nhome)
     blk0 = jnp.arange(nblk, dtype=jnp.int32) * quantum       # slot of blk
     # brick owning each output block (quantized layout); blocks past the
     # last brick's region get k = nb - 1 and mask to empty via rem <= 0
