@@ -133,3 +133,16 @@ def test_odd_window_w0_alignment():
     e1 = np.asarray(sim1.energies(s1))
     e2 = np.asarray(sim2.energies(s2))
     assert np.abs(e1 - e2).max() / e1.sum() < 1e-6
+
+
+def test_pallas_window_override_validated():
+    """A pallas_window that is not a multiple of 128 (or absurdly small)
+    must raise instead of silently misaligning the kernel's h-major table
+    slice (the d9cf69d bug class)."""
+    p = harris.HarrisParams(nx=16, ny=16, nppc=4, Lx=8.0, Ly=8.0)
+    for bad in (200, 1337, 128):
+        sim = harris.build(p)
+        sim.use_pallas = True
+        sim.pallas_window = bad
+        with pytest.raises(ValueError, match="pallas_window"):
+            sim.make_advance()

@@ -252,3 +252,23 @@ def test_chart2d_deep_halo_wrap_exact():
     xw = xi if 0 <= xi <= g.nx + 1 else (xi - 1) % g.nx + 1
     yw = yi if 0 <= yi <= g.ny + 1 else (yi - 1) % g.ny + 1
     assert folded[1, yw, xw] == 1.0 and folded.sum() == 1.0
+
+
+def test_brick_sort_home_shape_nonmultiple_capacity():
+    """Regression: the home map must have ceil(capacity/1024) blocks even
+    for capacities that are not a multiple of 1024 with the extent path
+    active (lax.cond/scan carries are shape-strict against the
+    deck-initialized ceil shape)."""
+    sim = build(False)
+    g = sim.grid
+    sp = sim.initialize().species[0]
+    cap = 24000          # 24000 % 1024 != 0
+    assert sp.capacity == cap and cap % 1024
+    want_blocks = (cap + 1023) // 1024
+    for extent in (0, 5000):
+        sorted_sp, home = PP3.brick_sort_p_home(sp, g, extent=extent)
+        assert home.shape == (want_blocks,)
+        # content preserved: same live multiset of voxel indices
+        a = np.sort(np.asarray(sp.i)[np.asarray(sp.live)])
+        b = np.sort(np.asarray(sorted_sp.i)[np.asarray(sorted_sp.live)])
+        assert np.array_equal(a, b)

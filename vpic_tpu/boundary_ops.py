@@ -96,6 +96,9 @@ def maxwellian_reflux(ut_para: Dict[str, float], ut_perp: Dict[str, float]):
         out = _continue_walk(sp, pend, disp, acc, rhob, g, spp.q, mask)
         return out + (diag,)
 
+    # acts on lanes in place (never relocates/creates live slots): safe
+    # under deck.make_advance's no_growth extent-sort optimization
+    handler.in_place = True
     return handler
 
 
@@ -129,6 +132,7 @@ def absorb_tally():
                 for spp in sp_params}
 
     handler.diag_init = diag_init
+    handler.in_place = True
     return handler
 
 
@@ -209,4 +213,5 @@ def link_boundary(prefix: str = "link", buffer_size: int = 4096):
 
     handler.diag_init = diag_init
     handler.write_links = write_links
+    handler.in_place = True
     return handler

@@ -878,6 +878,14 @@ class Simulation:
 
     def make_advance(self) -> Callable[[SimState], SimState]:
         g = self.grid
+        if self.pallas_window:
+            # the kernel's h-major table slice floors w0//128: a non-128-
+            # multiple window misaligns clipped w0 values silently
+            # (corrupt deposits, the d9cf69d bug class) -- reject early
+            if self.pallas_window % 128 or self.pallas_window < 256:
+                raise ValueError(
+                    f"pallas_window={self.pallas_window} must be a multiple "
+                    "of 128 and >= 256 (lanes)")
         m_global = self._material_coeffs()
         damp = self.damp
         sp_params = [st.params for st in self.species]
@@ -914,7 +922,13 @@ class Simulation:
         # so live slots stay inside the initial-injection bound forever.
         # Migration (sharded), emission, injection, and unknown user
         # collision callbacks can grow/relocate: full-capacity sorts then.
-        no_growth = (not g.sharded and not emitters
+        # Third-party custom particle-BC handlers get the full SpeciesState
+        # and may legally place replacement particles in free tail slots;
+        # only the in-package built-ins (marked handler.in_place) are known
+        # to act in place, so unknown handlers disqualify extent sorts.
+        handlers_in_place = all(getattr(h, "in_place", False)
+                                for h in self.pbc_handlers.values())
+        no_growth = (not g.sharded and not emitters and handlers_in_place
                      and u_pinject is None and u_collide is None)
         sort_extents = [max(len(st.xs), 1) if no_growth else 0
                         for st in self.species]

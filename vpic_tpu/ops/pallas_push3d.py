@@ -252,7 +252,11 @@ def brick_sort_p_home(sp: SpeciesState, g: Grid, quantum: int = 1024,
     sl = (lambda a: a[:E]) if E < N else (lambda a: a)
     nb = nbricks(g)
     b = jnp.where(sl(sp.live), brick_of(sl(sp.i), g), nb)
-    src, home = _sort_src_q(b, nb, E, quantum, nhome=N // quantum)
+    # ceil: the home map must match the diag-initialized
+    # ceil(capacity/quantum) shape for non-multiple capacities (lax.cond
+    # branches and scan carries are shape-strict)
+    src, home = _sort_src_q(b, nb, E, quantum,
+                            nhome=(N + quantum - 1) // quantum)
     moved = gather_sp_rows(jnp.maximum(src, 0),
                            sl(sp.dx), sl(sp.dy), sl(sp.dz), sl(sp.ux),
                            sl(sp.uy), sl(sp.uz), sl(sp.w), sl(sp.i),
