@@ -107,6 +107,12 @@ class Simulation:
         # drift that thermal decks never realize; a tighter window only
         # flags the tail lanes into the exact outlier replay.
         self.pallas_window = 0
+        # bf16 split terms for the fused kernel's deposit matmuls: 2 is
+        # ~2^-18 relative per deposit (one MXU pass fewer, measured on the
+        # 10k drift axis: see ENERGY_AXIS.md), 3 is ~2^-27 (better than
+        # f32).  The gather is always 2-term, so 2 matches the step's
+        # existing arithmetic floor.
+        self.pallas_deposit_terms = 2
         # User hooks (deck sections): callables state -> state pieces.
         self.user_field_injection = None      # (FieldState, step) -> FieldState
         self.user_current_injection = None    # (FieldState, step) -> FieldState
@@ -1058,7 +1064,8 @@ class Simulation:
                             species, fcoef_T, acc_T, g,
                             [(spp.q, spp.m) for spp in sp_params],
                             max_streak=self.max_streak, window=window,
-                            vbc_mark=vbc is not None)
+                            vbc_mark=vbc is not None,
+                            dep_terms=self.pallas_deposit_terms)
                         species = list(species)
                 remap3 = (lambda s: s) if fused3 else None
                 if g.sharded:

@@ -128,16 +128,32 @@ def _hilo_dot(x, oh, dims, terms=2):
     return out + d(lo, oh)
 
 
+def guard(g: Grid) -> int:
+    """Exact one-step linear-index movement bound for the entry guard:
+    one y crossing (+-NX; at most one per axis per step under CFL), one
+    x cell move (+-1), an x periodic ghost-exit re-map (+-nx, only when
+    x is periodic), +2 alignment/ULP slack.  The old blanket 2*NX charged
+    every deck for the x-periodic re-map; reflecting/wall-x decks (harris)
+    only ever move NX+1, so their guard -- two of the window's H units --
+    halves."""
+    xper = _eff_bc(g, 0, -1) == P_PERIODIC
+    return g.NX + (g.nx if xper else 0) + 3
+
+
 def pick_window(g: Grid, sortK: int = 4) -> int:
     """Voxel-window width for the fused kernel: the usable corridor
-    (window - 2*GUARD, GUARD = 2*NX) must cover a block's bucket-straddle
-    span (2*BUCKET) plus the worst inter-sort drift (one y-crossing moves
-    the linear index by NX, up to sortK-1 times each way).  Too-small
-    windows flood the outlier pass -- at 128^2 a 1024 window left a
-    124-voxel margin vs a 130-voxel y-crossing and spent 36 ms/step
-    redoing flagged lanes."""
-    need = 4 * g.NX + 2 * BUCKET + 2 * (sortK - 1) * g.NX
-    return max(DEF_WINDOW, _round_up(min(need, 8192), 128))
+    (window - 2*guard) must cover a block's bucket-straddle span
+    (2*BUCKET) plus the worst inter-sort span growth.  Since w0 is
+    re-derived per STEP from each block's live minimum (not per sort),
+    only the block's internal span matters -- measured on the bench deck
+    it grows ~0.55*NX/step (lanes diverge by at most one y-row per step
+    but most don't cross), so (sortK-1)*NX covers the worst block with
+    ~2x margin (measured max span at sortK=8: 760 =~ 0.8*(K-1)*NX).
+    Under-estimates degrade gracefully: far lanes are entry-flagged and
+    replayed exactly by the outlier pass.  The +128 covers w0's
+    floor-to-128 alignment."""
+    need = 2 * guard(g) + 2 * BUCKET + (sortK - 1) * g.NX + 128
+    return max(512, _round_up(min(need, 8192), 128))
 
 
 def table_width(g: Grid, window: int = DEF_WINDOW) -> int:
@@ -206,6 +222,7 @@ def bucket_sort_p(sp: SpeciesState, g: Grid, bucket: int = BUCKET,
 
 
 def _kernel(g: Grid, max_streak, P, V, nvp, resident, ablate, vbc_mark,
+            dep_terms,
             w0_ref,  # scalar prefetch: (nblocks,) window starts (int32)
             nl_ref,  # scalar prefetch: (nblocks,) live-lane counts (int32)
             qd2_ref,  # scalar prefetch: (nblocks,) per-block qdt_2mc (f32)
@@ -306,10 +323,10 @@ def _kernel(g: Grid, max_streak, P, V, nvp, resident, ablate, vbc_mark,
       # Entry guard: a lane whose voxel cannot stay inside the window for the
       # whole walk is FROZEN (state passes through untouched) and flagged for
       # the caller's compact XLA outlier pass -- stale-sort drift lands here,
-      # so the fused path stays exact at any sort interval.  One step moves
-      # the (unwrapped) linear index by at most NX (y crossing) + nx (x
-      # periodic re-map) + 1, hence GUARD = 2*NX.
-      GUARD = 2 * g.NX
+      # so the fused path stays exact at any sort interval.  guard(g) is the
+      # exact one-step movement bound (y crossing + x move + x re-map when
+      # x is periodic).
+      GUARD = guard(g)
       loc0 = vox - w0
       safe = live & (loc0 >= GUARD) & (loc0 < V - GUARD)
       entry_flag = live & ~safe
@@ -476,16 +493,14 @@ def _kernel(g: Grid, max_streak, P, V, nvp, resident, ablate, vbc_mark,
               else:
                   # round 0: position == gather position, reuse its one-hots
                   oh_lo, ohhi = reuse
-              # 3-term bf16 split of vals BEFORE the h-expansion (better-
-              # than-f32 deposit accuracy at 3 MXU passes, like terms=3),
-              # so the (16H, P) expanded tensors are built directly in
-              # bf16: the old expand-then-split shape paid ~5 f32 passes
-              # over 16H*P; this pays 3 bf16 writes (ohhi is an exact 0/1
-              # mask in either dtype).
+              # dep_terms-way bf16 split of vals BEFORE the h-expansion
+              # (~2^-18 relative at 2 terms, ~2^-27 -- better than f32 --
+              # at 3), so the (16H, P) expanded tensors are built directly
+              # in bf16: the old expand-then-split shape paid ~5 f32
+              # passes over 16H*P; this pays dep_terms bf16 writes (ohhi
+              # is an exact 0/1 mask in either dtype).
               v_hi = vals.astype(jnp.bfloat16)
               r1 = vals - v_hi.astype(jnp.float32)
-              v_mid = r1.astype(jnp.bfloat16)
-              v_lo = (r1 - v_mid.astype(jnp.float32)).astype(jnp.bfloat16)
               ohhi_b = ohhi.astype(jnp.bfloat16)
               dot = functools.partial(
                   jax.lax.dot_general,
@@ -493,9 +508,13 @@ def _kernel(g: Grid, max_streak, P, V, nvp, resident, ablate, vbc_mark,
                   preferred_element_type=jnp.float32)
               expand = lambda vt: (ohhi_b[:, None, :]
                                    * vt[None, :, :]).reshape(16 * H, P)
-              upd = (dot(expand(v_hi), oh_lo)
-                     + dot(expand(v_mid), oh_lo)
-                     + dot(expand(v_lo), oh_lo))          # (16H, 128)
+              upd = dot(expand(v_hi), oh_lo)
+              if dep_terms >= 3:
+                  v_mid = r1.astype(jnp.bfloat16)
+                  upd = upd + dot(expand(v_mid), oh_lo)
+                  r1 = r1 - v_mid.astype(jnp.float32)
+              upd = upd + dot(expand(r1.astype(jnp.bfloat16)),
+                              oh_lo)                      # (16H, 128)
               if resident:
                   acc_scratch[pl.ds(s16, 16 * H), :] += upd
               else:
@@ -657,10 +676,11 @@ def vmem_plan(nvp: int, window: int) -> Tuple[int, bool, int]:
 
 @functools.partial(jax.jit, static_argnames=("g", "qsps", "msps",
                                              "max_streak", "block", "window",
-                                             "ablate", "vbc_mark"))
+                                             "ablate", "vbc_mark",
+                                             "dep_terms"))
 def _run(sps, fcoef_T, acc_T, g: Grid, qsps, msps,
          max_streak=4, block=0, window=DEF_WINDOW, ablate=0,
-         vbc_mark=False):
+         vbc_mark=False, dep_terms=2):
     """All species through ONE kernel launch: each species is padded to a
     block multiple and the segments concatenated, so every block is
     species-pure and carries its own (qdt_2mc, q) via scalar prefetch.
@@ -694,26 +714,23 @@ def _run(sps, fcoef_T, acc_T, g: Grid, qsps, msps,
         cols["w"].append(pad(sp.w))
         cols["live"].append(live.astype(jnp.float32))
 
-        # Window starts: centered between the block's 12.5th and 87.5th
-        # percentile voxels over LIVE lanes (slot order approximates voxel
-        # order under the bucket sort; percentile-midpoint centering covers
-        # a block whose bulk spans several buckets, which a middle-slot
-        # anchor clips on one side -- that asymmetry was flagging ~50 drift
-        # outliers per step at 64^2 and paying a ~3 ms outlier pass).  Live
-        # lanes sort before dead within a block, so percentiles index the
-        # live prefix.
+        # Window starts: anchored at the block's LIVE-minimum voxel minus
+        # the guard, floored to 128 (always aligned by construction).
+        # Re-derived per STEP, so the window tracks the block's current
+        # span rather than budgeting worst-case drift from the sort --
+        # that's what lets pick_window shrink to the measured span
+        # (max 760 lanes at 64^2 sortK 8) instead of 2*(K-1)*NX.  The
+        # guard'd minimum lane lands >= GUARD inside the window (floor
+        # only moves w0 DOWN), and the far tail either fits or is
+        # entry-flagged for the exact outlier replay.
         vb = vox.reshape(nb, block)
-        nlive = jnp.sum(live.reshape(nb, block), axis=1)
-        take = lambda idx: jnp.take_along_axis(vb, idx[:, None], 1)[:, 0]
-        lo = take(jnp.clip(nlive // 8, 0, block - 1))
-        hi = take(jnp.clip((7 * nlive) // 8, 0, block - 1))
-        mid = (lo + hi) // 2
-        # align the RESULT, not mid: when window//2 is not a multiple of
-        # 128 (e.g. pick_window 2688 at 128^2 -> 1344) the old
-        # (mid//128)*128 - window//2 form left w0 64-misaligned, silently
-        # breaking the kernel's h-major table slice (s24 floors w0//128)
-        w0s.append(jnp.clip(((mid - window // 2) // 128) * 128,
-                            0, nvp - window))
+        lvb = live.reshape(nb, block)
+        nlive = jnp.sum(lvb, axis=1)
+        mn = jnp.min(jnp.where(lvb > 0, vb, jnp.int32(1 << 30)), axis=1)
+        GU = guard(g)
+        w0s.append(jnp.where(
+            nlive > 0,
+            jnp.clip(((mn - GU) // 128) * 128, 0, nvp - window), 0))
         nls.append(nlive)
         qd2s.append(jnp.full((nb,), (qsp * g.dt) / (2.0 * msp * g.cvac),
                              jnp.float32))
@@ -755,7 +772,8 @@ def _run(sps, fcoef_T, acc_T, g: Grid, qsps, msps,
     )
 
     kernel = functools.partial(_kernel, g, max_streak, block,
-                               window, nvp, resident, ablate, vbc_mark)
+                               window, nvp, resident, ablate, vbc_mark,
+                               dep_terms)
     out_shapes = [jax.ShapeDtypeStruct((8, Ntot), jnp.float32),
                   jax.ShapeDtypeStruct((nvh * 16, 128), jnp.float32),
                   jax.ShapeDtypeStruct((1, 1), jnp.int32)]
@@ -979,7 +997,7 @@ def outlier_pass(sp: SpeciesState, oflag, fcoef_T, g: Grid,
 def fused_push(sp: SpeciesState, fcoef_T, acc_T, g: Grid, qsp: float,
                msp: float, max_streak: int = 4, block: int = 0,
                window: int = DEF_WINDOW, ablate: int = 0,
-               vbc_mark: bool = False):
+               vbc_mark: bool = False, dep_terms: int = 2):
     """One species push through the fused kernel (transposed layouts).
 
     Precondition: particles bucket-sorted recently enough that each block's
@@ -991,21 +1009,21 @@ def fused_push(sp: SpeciesState, fcoef_T, acc_T, g: Grid, qsp: float,
     Returns (species, acc_T, outlier_flags, oow)."""
     sps, acc_T, oflags, oow = _run(
         (sp,), fcoef_T, acc_T, g, (float(qsp),), (float(msp),),
-        max_streak, block, window, ablate, vbc_mark)
+        max_streak, block, window, ablate, vbc_mark, dep_terms)
     return sps[0], acc_T, oflags[0], oow
 
 
 def fused_push_multi(sps, fcoef_T, acc_T, g: Grid, qms,
                      max_streak: int = 4, block: int = 0,
                      window: int = DEF_WINDOW, ablate: int = 0,
-                     vbc_mark: bool = False):
+                     vbc_mark: bool = False, dep_terms: int = 2):
     """All species through ONE fused kernel launch (see _run).  ``qms`` is
     a sequence of (charge, mass) per species.  Returns
     (list_of_species, acc_T, list_of_outlier_flags, oow)."""
     return _run(tuple(sps), fcoef_T, acc_T, g,
                 tuple(float(q) for q, _ in qms),
                 tuple(float(m) for _, m in qms),
-                max_streak, block, window, ablate, vbc_mark)
+                max_streak, block, window, ablate, vbc_mark, dep_terms)
 
 
 def expand_y_images_T(tab_T, g: Grid):
