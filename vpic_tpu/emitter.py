@@ -199,16 +199,46 @@ def runtime_inject(sp: SpeciesState, g: Grid, acc, rhob, key,
     the streak walk.  All arguments are fixed-size arrays; lanes with w < 0
     are skipped (the static-shape analogue of conditional injection).
 
-    Returns (species, acc, rhob).  Note: the conversion runs in f32 on
-    device (the reference stages in f64 on the host; for init-time staging
-    use Simulation.inject_particle, which does too)."""
+    Returns (species, acc, rhob).  The coordinate -> (voxel, offset)
+    conversion runs in DOUBLE-F32 (error-free TwoSum/TwoProd expansions,
+    ~2^-45 relative) so it matches the reference's f64 staging
+    (misc.cc:16-100) for any f32 input: a plain f32 conversion misplaces
+    particles by a whole voxel near cell boundaries once n >~ 4096
+    (absolute error ~n*2^-24 cells)."""
     M = x.shape[0]
     valid = w >= 0
 
+    def _split(a):
+        # Dekker 12/12-bit split of an f32 (exact; TPU VPU +,* are IEEE)
+        c = a * jnp.float32(4097.0)
+        hi = c - (c - a)
+        return hi, a - hi
+
     def conv(v, v0, v1, n):
-        s = n * ((v - v0) / (v1 - v0))
-        iv = jnp.clip(s.astype(jnp.int32), 0, n - 1)
-        frac = s - iv.astype(jnp.float32)
+        import numpy as _np
+        rn = float(n) / (float(v1) - float(v0))     # trace-time f64
+        rh = _np.float32(rn)
+        rl = _np.float32(rn - float(rh))
+        vh = _np.float32(v0)
+        vl = _np.float32(float(v0) - float(vh))
+        # d = v - v0 as (d, de): Knuth TwoSum of (v, -vh), minus vl
+        s = v - vh
+        b2 = s - v
+        de = (v - (s - b2)) + (-vh - b2) - vl
+        # s*rn as (p, pl): Dekker TwoProd + cross terms
+        p = s * rh
+        ah, al = _split(s)
+        bh, bl = _split(rh)
+        pe = ((ah * bh - p) + ah * bl + al * bh) + al * bl
+        pl = pe + s * rl + de * rh
+        iv = jnp.floor(p)
+        r = (p - iv) + pl                 # p - floor(p) is exact
+        rf = jnp.floor(r)                 # in {-1, 0, 1}
+        iv = (iv + rf).astype(jnp.int32)
+        frac = r - rf
+        # domain-edge landing (misc.cc iv == n): offset 1.0 in cell n-1
+        frac = jnp.where(iv >= n, 1.0, jnp.where(iv < 0, 0.0, frac))
+        iv = jnp.clip(iv, 0, n - 1)
         return 2.0 * frac - 1.0, iv + 1
 
     dx, ix = conv(x, g.x0, g.x1, g.gnx)

@@ -9,8 +9,9 @@ model:
   strides, boundary conditions, decomposition topology) lives here and is
   closed over by jitted step functions, so XLA sees fully static shapes.
 * The reference's per-voxel ``neighbor[6*nv]`` table (grid.h:116-121) is
-  replaced by arithmetic neighbor logic + a 6-entry per-face BC code; custom
-  per-voxel particle BCs are layered on later as an optional override field.
+  replaced by arithmetic neighbor logic + a 6-entry per-face BC code, plus
+  an optional per-voxel-face override field for interior surfaces
+  (Simulation.set_region_particle_bc, deck.py).
 * MPI domain decomposition becomes a ``jax.sharding.Mesh`` described by
   ``topology``; the local brick shapes are identical on every shard (the
   reference likewise requires gnx % gpx == 0, partition.c:51).
@@ -273,7 +274,7 @@ def partition_absorbing_box(gx0, gy0, gz0, gx1, gy1, gz1,
         side = FACE_SIDE[face]
         # Only outermost shards get the absorbing faces; with gp>1 the
         # inner faces stay REMOTE and shard-edge handling applies the local
-        # BC only on the outermost shard (see parallel/halo.py).
+        # BC only on the outermost shard (see ops/fields._ghost_value).
         g = g.with_bc(face, fbc=ABSORB_FIELDS, pbc=pbc)
     return g
 

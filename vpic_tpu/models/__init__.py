@@ -1,4 +1,5 @@
 """Built-in decks (analogues of the reference's sample/ decks)."""
 
 from . import (asymm4sp, beam_plas, dipole, emission, harris, lpi,
-               reconnection, shapes, waveguide, weibel)  # noqa: F401
+               reconnection, shapes, twostream, waveguide,
+               weibel)  # noqa: F401

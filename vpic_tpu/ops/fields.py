@@ -9,7 +9,7 @@ local.c, remote.c, the div cleaners and energy_f):
 * The reference's split begin/end remote ghost exchange + local ghost fill
   (remote.c:62-270, local.c:50-215) collapses into three ghost-fill ops
   (tang_b, norm_e, div_b).  On one shard, PERIODIC faces wrap; sharded faces
-  are exchanged with lax.ppermute by the wrappers in parallel/halo.py, and
+  are exchanged with lax.ppermute (_shard_halo_plane below), and
   XLA's latency-hiding scheduler provides the comm/compute overlap that the
   reference hand-codes (advance_e_pipeline.cc:60-210).
 * Shared-face synchronization (remote.c:299-619) becomes plane-combine ops:

@@ -162,6 +162,26 @@ def table_width(g: Grid, window: int = DEF_WINDOW) -> int:
     return max(_round_up(g.nv, 128), window)
 
 
+def packed_src_sort(b, rows: int, nkeys: int):
+    """Stable sort of ``rows`` lanes by small key ``b`` (values < nkeys);
+    returns (b_sorted, src) where src is the per-output-slot SOURCE index.
+    When (key, slot) packs into 32 bits, sorts ONE uint32 operand
+    (key << log2(rows) | slot -- bit-identical to the stable key-value
+    sort since the slot suffix breaks ties in slot order): every lax.sort
+    operand rides the full sorting network, so dropping the value operand
+    nearly halves the sort's data movement."""
+    shift = max(rows - 1, 1).bit_length()
+    if nkeys << shift <= (1 << 32):
+        key = ((b.astype(jnp.uint32) << shift)
+               | jax.lax.iota(jnp.uint32, rows))
+        key = jax.lax.sort(key)
+        return ((key >> shift).astype(jnp.int32),
+                (key & ((1 << shift) - 1)).astype(jnp.int32))
+    bs, src = jax.lax.sort((b, jax.lax.iota(jnp.int32, rows)), num_keys=1,
+                           is_stable=True)
+    return bs, src
+
+
 def bucket_sort_p(sp: SpeciesState, g: Grid, bucket: int = BUCKET,
                   pack: int = 1, extent: int = 0):
     """O(N) stable counting sort by coarse voxel bucket (dead slots last).
@@ -196,13 +216,11 @@ def bucket_sort_p(sp: SpeciesState, g: Grid, bucket: int = BUCKET,
     b = jnp.where(sl(sp.live), sl(sp.i) // bucket, nb)
     if pack > 1:
         b = jnp.min(b.reshape(E // pack, pack), axis=1)
-    # Per-output-slot SOURCE index from ONE stable key-value sort: measured
-    # 2x cheaper than counting-sort destinations + inverse-permutation
+    # Per-output-slot SOURCE index from ONE stable sort: measured 2x
+    # cheaper than counting-sort destinations + inverse-permutation
     # scatter (2.27 vs 3.37 ms at 196k lanes -- scatters are latency-bound
     # on this chip) and bit-identical (both stable by the same key).
-    src = jax.lax.sort(
-        (b, jax.lax.iota(jnp.int32, E // pack)), num_keys=1,
-        is_stable=True)[1]
+    _, src = packed_src_sort(b, E // pack, nb + 1)
 
     # Move rows with a GATHER by the per-slot source: on this chip a row
     # gather runs ~16x faster than the equivalent row scatter (80 ms ->
@@ -758,10 +776,10 @@ def _run(sps, fcoef_T, acc_T, g: Grid, qsps, msps,
         num_scalar_prefetch=4,
         grid=(nblocks,),
         in_specs=[pl.BlockSpec((9, block), lambda b, *_: (0, b))]
-        + [pl.BlockSpec(memory_space=pltpu.ANY),
-           pl.BlockSpec(memory_space=pltpu.ANY)],
+        + [pl.BlockSpec(memory_space=pl.ANY),
+           pl.BlockSpec(memory_space=pl.ANY)],
         out_specs=[pl.BlockSpec((8, block), lambda b, *_: (0, b))]
-        + [pl.BlockSpec(memory_space=pltpu.ANY),
+        + [pl.BlockSpec(memory_space=pl.ANY),
            pl.BlockSpec((1, 1), lambda b, *_: (0, 0),
                         memory_space=pltpu.SMEM)],
         scratch_shapes=[pltpu.SemaphoreType.DMA, pltpu.SemaphoreType.DMA,

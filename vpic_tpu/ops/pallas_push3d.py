@@ -301,9 +301,8 @@ def _sort_src_q(b, nb: int, N: int, quantum: int, nhome: int = 0):
     block because quantum == block.  Replaces the old digit-one-hot
     counting machinery + full-N inverse scatter (scatters are latency-
     bound: the scatter alone cost more than this whole function)."""
-    order = jax.lax.sort((b, jax.lax.iota(jnp.int32, N)), num_keys=1,
-                         is_stable=True)
-    b_sorted, sorted_src = order
+    from .pallas_push import packed_src_sort
+    b_sorted, sorted_src = packed_src_sort(b, N, nb + 1)
     seg_start = jnp.searchsorted(
         b_sorted, jnp.arange(nb + 1, dtype=b.dtype)).astype(jnp.int32)
     totb = seg_start[1:] - seg_start[:-1]                    # (nb,)
@@ -825,10 +824,10 @@ def _run3d(sps, tab_chart, acc_chart, g: Grid, qsps, msps,
         num_scalar_prefetch=4,
         grid=(nblocks,),
         in_specs=[pl.BlockSpec((9, block), lambda b, *_: (0, b))]
-        + [pl.BlockSpec(memory_space=pltpu.ANY),
-           pl.BlockSpec(memory_space=pltpu.ANY)],
+        + [pl.BlockSpec(memory_space=pl.ANY),
+           pl.BlockSpec(memory_space=pl.ANY)],
         out_specs=[pl.BlockSpec((8, block), lambda b, *_: (0, b))]
-        + [pl.BlockSpec(memory_space=pltpu.ANY),
+        + [pl.BlockSpec(memory_space=pl.ANY),
            pl.BlockSpec((1, 1), lambda b, *_: (0, 0),
                         memory_space=pltpu.SMEM)],
         scratch_shapes=[pltpu.SemaphoreType.DMA, pltpu.SemaphoreType.DMA,
