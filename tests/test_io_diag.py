@@ -350,3 +350,51 @@ def test_checkpoint_remap_topology(tmp_path):
     s2b = CK.remap(base + ".u", sim2)
     lc = lanes(s2b, sim2.grid, (1, 2, 1))
     np.testing.assert_array_equal(lc, lb)
+
+
+def test_stitch_sharded_dumps(tmp_path):
+    """Global stitch of per-rank V0 dumps (the interfaces/c joiner
+    analogue): reassembled interiors must equal the sharded state's own
+    topology-leading arrays block for block."""
+    import sys
+    sys.path.insert(0, os.path.join(os.path.dirname(
+        os.path.dirname(os.path.abspath(__file__))), "utilities"))
+    import read_dumps as RD
+    topo = (2, 2, 1)
+    p = weibel.WeibelParams(nx=8, ny=8, nppc=4, Lx=4.0, Ly=4.0,
+                            topology=topo, sort_interval=0)
+    sim = weibel.build(p)
+    state = sim.initialize()
+    step = sim.make_step()
+    for _ in range(3):
+        state = step(state)
+    g = sim.grid
+
+    names = DU.dump_fields(sim, state, str(tmp_path / "f"))
+    assert len(names) == g.n_shards
+    tag = int(np.asarray(state.step).max())
+    hdr, glob = RD.stitch_fields(str(tmp_path / "f"), tag, topo)
+    assert glob["ey"].shape == (g.gnz, g.gny, g.gnx)
+    ey = np.asarray(state.fields.ey)        # (px,py,pz, NZ,NY,NX)
+    px, py, pz = topo
+    for rank in range(g.n_shards):
+        sx, sy, sz = rank // (py * pz), (rank // pz) % py, rank % pz
+        blk = glob["ey"][sz * g.nz:(sz + 1) * g.nz,
+                         sy * g.ny:(sy + 1) * g.ny,
+                         sx * g.nx:(sx + 1) * g.nx]
+        np.testing.assert_allclose(
+            blk, ey[sx, sy, sz][1:g.nz + 1, 1:g.ny + 1, 1:g.nx + 1],
+            rtol=1e-6)
+    # material ids rode along with int16 dtype
+    assert glob["nmat"].dtype == np.int16
+
+    hnames = DU.dump_hydro(sim, state, "electron", str(tmp_path / "h"))
+    hdr2, hglob = RD.stitch_hydro(str(tmp_path / "h"), tag, topo)
+    assert hglob["rho"].shape == (g.gnz, g.gny, g.gnx)
+    assert np.isfinite(hglob["rho"]).all()
+
+    pnames = DU.dump_particles(sim, state, "electron", str(tmp_path / "p"))
+    hdr3, parts = RD.stitch_particles(str(tmp_path / "p"), tag,
+                                      g.n_shards)
+    total = sum(int(v) for v in np.asarray(state.species[0].np).reshape(-1))
+    assert len(parts) == total

@@ -77,7 +77,66 @@ def read_particles(path):
         return hdr, rec
 
 
+def _stitch(fbase, tag, topology, reader):
+    """Reassemble per-rank ghosted V0 dumps `{fbase}.{tag}.{rank}` into
+    global interior arrays — the analogue of the reference's global joiner
+    (interfaces/c/joiner).  `topology` is the (px, py, pz) decomposition
+    (the V0 header carries rank/nproc but not the topology, exactly like
+    the reference, whose joiner reads it from the global.vpc manifest).
+    Rank order matches vpic_tpu.dump._shard_iter: x-major, z-minor."""
+    px, py, pz = topology
+    n = px * py * pz
+    hdr0 = None
+    out = {}
+    for rank in range(n):
+        hdr, loc = reader(f"{fbase}.{tag}.{rank}")
+        if hdr0 is None:
+            hdr0 = hdr
+            if hdr["nproc"] != n:
+                raise ValueError(f"topology {topology} implies {n} ranks "
+                                 f"but dump says nproc={hdr['nproc']}")
+            nx, ny, nz = hdr["nx"], hdr["ny"], hdr["nz"]
+        sx, sy, sz = rank // (py * pz), (rank // pz) % py, rank % pz
+        for name, a in loc.items():
+            if name not in out:
+                out[name] = np.zeros((nz * pz, ny * py, nx * px), a.dtype)
+            out[name][sz * nz:(sz + 1) * nz, sy * ny:(sy + 1) * ny,
+                      sx * nx:(sx + 1) * nx] = a[1:nz + 1, 1:ny + 1,
+                                                 1:nx + 1]
+    return hdr0, out
+
+
+def stitch_fields(fbase, tag, topology):
+    """Global (gnz, gny, gnx) interior field + material-id arrays from the
+    per-rank files of one dump_fields call."""
+    return _stitch(fbase, tag, topology, read_fields)
+
+
+def stitch_hydro(fbase, tag, topology):
+    return _stitch(fbase, tag, topology, read_hydro)
+
+
+def stitch_particles(fbase, tag, nproc):
+    """Concatenate per-rank particle dumps; voxel indices are left in each
+    rank's local ghosted convention (as in the reference's raw dumps)."""
+    hdr0, recs = None, []
+    for rank in range(nproc):
+        hdr, rec = read_particles(f"{fbase}.{tag}.{rank}")
+        hdr0 = hdr0 or hdr
+        recs.append(rec)
+    return hdr0, np.concatenate(recs)
+
+
 if __name__ == "__main__":
-    path = sys.argv[1]
-    hdr, _ = read_fields(path)
-    print(hdr)
+    if sys.argv[1] == "stitch":
+        # read_dumps.py stitch <fields|hydro> <fbase> <tag> PX PY PZ <out.npz>
+        kind, fbase, tag = sys.argv[2:5]
+        topo = tuple(int(v) for v in sys.argv[5:8])
+        fn = stitch_fields if kind == "fields" else stitch_hydro
+        hdr, out = fn(fbase, tag, topo)
+        np.savez(sys.argv[8], **out)
+        print(f"stitched {hdr['nproc']} ranks -> {sys.argv[8]} "
+              f"({out[next(iter(out))].shape})")
+    else:
+        hdr, _ = read_fields(sys.argv[1])
+        print(hdr)

@@ -836,7 +836,7 @@ class Simulation:
         max_cap = max((st.params.capacity for st in self.species),
                       default=0)
         on_tpu = jax.devices()[0].platform == "tpu"
-        chart_ok = PP3.supports3d(g, max_cap) and self._vbc is None
+        chart_ok = PP3.supports3d(g, max_cap)
         sortK = max(1, self.pallas_sort_interval)
         # Chart home maps are computed by the brick sort and stay valid
         # only while lane SLOTS are stable: any op that reorders lanes
@@ -978,6 +978,7 @@ class Simulation:
                     window = PP.DEF_WINDOW
                     nvp = PP.table_width(g, window)
                     fcoef_T = I.load_interpolator_T(f, g, nvp,
+                                                    mark=vbc_mark,
                                                     y_images=g.nz > 1)
                     tab_chart = PP3.to_chart_T(fcoef_T, g)
                     acc_T = jnp.zeros((16, PP3.chart_width(g)), jnp.float32)
@@ -1043,7 +1044,8 @@ class Simulation:
                         species, acc_T, oflags, _ = PP3.fused_push3d_multi(
                             species, tab_chart, acc_T, g,
                             [(spp.q, spp.m) for spp in sp_params],
-                            max_streak=self.max_streak, homes=homes)
+                            max_streak=self.max_streak, homes=homes,
+                            vbc_mark=vbc is not None)
                         species = list(species)
                 else:
                     # ONE cond for every species' sort (a lax.cond costs

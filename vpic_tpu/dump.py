@@ -136,6 +136,38 @@ def dump_fields(sim, state, fbase: str, ftag: Optional[int] = None):
     return names
 
 
+def _compute_hydro(sim, state, k, spp):
+    """Interior hydro moments for species k.  Sharded states run the
+    accumulate + ghost synchronization inside shard_map (the ppermute
+    combine in synchronize_hydro needs the mesh axis names), returning
+    topology-leading (px,py,pz, nv, N_HYDRO)."""
+    import jax
+    import jax.numpy as jnp
+    g = sim.grid
+
+    def _local(fs, sp):
+        fcoef = I.load_interpolator(fs, g)
+        h = jnp.zeros((g.nv, H.N_HYDRO), jnp.float32)
+        h = H.accumulate_hydro_p(h, sp, fcoef, g, spp.q, spp.m)
+        return H.synchronize_hydro(h, g)
+
+    if not g.sharded:
+        return _local(state.fields, state.species[k])
+    from jax import shard_map
+    from jax.sharding import PartitionSpec as PS
+    from .parallel.mesh import make_mesh
+    mesh = make_mesh(g)
+    spec = PS(*g.mesh_axes)
+
+    def _shard(fs, sp):
+        fs = jax.tree.map(lambda a: a[0, 0, 0], fs)
+        sp = jax.tree.map(lambda a: a[0, 0, 0], sp)
+        return _local(fs, sp)[None, None, None]
+
+    return shard_map(_shard, mesh=mesh, in_specs=(spec, spec),
+                     out_specs=spec)(state.fields, state.species[k])
+
+
 def dump_hydro(sim, state, sp_name: str, fbase: str,
                ftag: Optional[int] = None):
     """hydro_dump (dump.cc): V0 header + 16-float hydro_t records."""
@@ -145,13 +177,7 @@ def dump_hydro(sim, state, sp_name: str, fbase: str,
     k = next(i for i, st in enumerate(sim.species)
              if st.params.name == sp_name)
     spp = sim.species[k].params
-
-    import jax.numpy as jnp
-    fcoef = I.load_interpolator(state.fields, g)
-    hydro = jnp.zeros((g.nv, H.N_HYDRO), jnp.float32)
-    hydro = H.accumulate_hydro_p(hydro, state.species[k], fcoef, g,
-                                 spp.q, spp.m)
-    hydro = H.synchronize_hydro(hydro, g)
+    hydro = _compute_hydro(sim, state, k, spp)
 
     names = []
     for rank, local in _shard_iter(g, hydro.reshape(g.shape + (H.N_HYDRO,))
@@ -177,13 +203,16 @@ def dump_particles(sim, state, sp_name: str, fbase: str,
     k = next(i for i, st in enumerate(sim.species)
              if st.params.name == sp_name)
     spp = sim.species[k].params
-    fcoef = I.load_interpolator(state.fields, g)
-    sp = P.center_p(state.species[k], fcoef, g, spp.q, spp.m)
+
+    def _centered(fs, s):
+        # center_p is shard-local (local interpolator only, no collectives)
+        fcoef = I.load_interpolator(fs, g)
+        return P.center_p(s, fcoef, g, spp.q, spp.m)
 
     names = []
     rank = 0
     if not g.sharded:
-        shards = [(0, sp)]
+        shards = [(0, _centered(state.fields, state.species[k]))]
     else:
         import jax
         shards = []
@@ -192,8 +221,10 @@ def dump_particles(sim, state, sp_name: str, fbase: str,
         for sx in range(px):
             for sy in range(py):
                 for sz in range(pz):
-                    shards.append((r, jax.tree.map(
-                        lambda a: a[sx, sy, sz], sp)))
+                    pick = lambda a: a[sx, sy, sz]
+                    shards.append((r, _centered(
+                        jax.tree.map(pick, state.fields),
+                        jax.tree.map(pick, state.species[k]))))
                     r += 1
     for rank, lsp in shards:
         live = np.asarray(lsp.live)
@@ -293,12 +324,7 @@ def dump_hydro_strided(sim, state, sp_name: str, fbase: str,
     k = next(i for i, st in enumerate(sim.species)
              if st.params.name == sp_name)
     spp = sim.species[k].params
-    import jax.numpy as jnp
-    fcoef = I.load_interpolator(state.fields, g)
-    hydro = jnp.zeros((g.nv, H.N_HYDRO), jnp.float32)
-    hydro = H.accumulate_hydro_p(hydro, state.species[k], fcoef, g,
-                                 spp.q, spp.m)
-    hydro = H.synchronize_hydro(hydro, g)
+    hydro = _compute_hydro(sim, state, k, spp)
     sx, sy, sz = (int(v) for v in stride)
     names = []
     shp = None

@@ -110,6 +110,17 @@ class Grid:
     field_bc: Tuple[int, int, int, int, int, int] = (PERIODIC,) * 6
     particle_bc: Tuple[int, int, int, int, int, int] = (P_PERIODIC,) * 6
 
+    # Irregular domain graph (join_grid across arbitrary ranks,
+    # grid/ops.c:119-212): 6 per-face partner tables, each a length-
+    # n_shards tuple mapping flat rank -> joined partner rank (-1 = the
+    # face keeps its local BC).  None = connectivity implied by the
+    # cartesian ``topology``.  When set, halo exchange and particle
+    # migration ride explicit flat-rank ppermute pairs instead of
+    # whole-axis shifts, and a rank's face is remote iff its table entry
+    # is >= 0 (replacing the edge-shard tests).  Joins connect OPPOSITE
+    # faces (-x to a +x), like the reference's port ordering.
+    face_partners: Optional[Tuple[Tuple[int, ...], ...]] = None
+
     t0: float = 0.0
 
     # ----- derived conveniences (grid.h:90-96) -----
@@ -235,6 +246,51 @@ class Grid:
         if self.gnz > 1:
             s += self.rdz ** 2
         return s ** -0.5
+
+
+def flat_rank(g: Grid):
+    """This shard's flat rank (x-major, z-minor -- the dump/_shard_iter
+    order).  Traced; requires being inside shard_map over g.mesh_axes."""
+    import jax
+    r = jax.lax.axis_index(g.mesh_axes[0])
+    r = r * g.topology[1] + jax.lax.axis_index(g.mesh_axes[1])
+    r = r * g.topology[2] + jax.lax.axis_index(g.mesh_axes[2])
+    return r
+
+
+def cartesian_partners(g: Grid) -> Tuple[Tuple[int, ...], ...]:
+    """The per-face partner tables implied by the cartesian topology:
+    interior shard faces link to the adjacent shard; global-edge faces
+    wrap iff the axis is fully periodic (sharded periodic axes carry
+    bc REMOTE); unsharded axes keep local wrap (no partner).  The seed
+    table that join_domain overlays irregular joins onto."""
+    px, py, pz = g.topology
+    n = px * py * pz
+    tabs = [[-1] * n for _ in range(6)]
+
+    def rid(ix, iy, iz):
+        return (ix * py + iy) * pz + iz
+
+    for ix in range(px):
+        for iy in range(py):
+            for iz in range(pz):
+                r = rid(ix, iy, iz)
+                co = [ix, iy, iz]
+                for ax, nax in enumerate((px, py, pz)):
+                    if nax == 1:
+                        continue
+                    wrap = g.axis_bc(ax, -1) == REMOTE \
+                        and g.axis_bc(ax, 1) == REMOTE
+                    i = co[ax]
+                    if i > 0 or wrap:
+                        lo = co.copy()
+                        lo[ax] = (i - 1) % nax
+                        tabs[ax][r] = rid(*lo)
+                    if i < nax - 1 or wrap:
+                        hi = co.copy()
+                        hi[ax] = (i + 1) % nax
+                        tabs[ax + 3][r] = rid(*hi)
+    return tuple(tuple(t) for t in tabs)
 
 
 def partition_periodic_box(gx0, gy0, gz0, gx1, gy1, gz1,

@@ -138,10 +138,17 @@ def _axes_of(axis: int) -> Tuple[int, int]:
 def _shard_halo_plane(a, axis: int, side: int, g: Grid):
     """Neighbor shard's boundary plane for my ghost on (axis, side): every
     shard sends plane(n) toward +axis for low ghosts (k -> k+1) or plane(1)
-    toward -axis for high ghosts (cyclic, so global periodic falls out)."""
+    toward -axis for high ghosts (cyclic, so global periodic falls out).
+    With an irregular domain graph (g.face_partners), the exchange rides
+    explicit flat-rank pairs: my (axis, side) partner sends me its
+    opposite-face plane."""
     n = (g.nx, g.ny, g.nz)[axis]
     src = n if side < 0 else 1
     plane = get_plane(a, axis, src)
+    if g.face_partners is not None:
+        tab = g.face_partners[axis + (0 if side < 0 else 3)]
+        pairs = [(p, r) for r, p in enumerate(tab) if p >= 0]
+        return jax.lax.ppermute(plane, g.mesh_axes, pairs)
     ns = g.topology[axis]
     shift = 1 if side < 0 else -1
     perm = [(k, (k + shift) % ns) for k in range(ns)]
@@ -154,10 +161,28 @@ def _edge_scalar(g: Grid, axis: int, side: int):
     return idx == (0 if side < 0 else g.topology[axis] - 1)
 
 
+def _joined_scalar(g: Grid, axis: int, side: int):
+    """Irregular-graph mode: True iff THIS rank's (axis, side) face has a
+    partner in the join table (the per-rank analogue of ~_edge_scalar)."""
+    from ..grid import flat_rank
+    tab = g.face_partners[axis + (0 if side < 0 else 3)]
+    return jnp.asarray(tab)[flat_rank(g)] >= 0
+
+
 def _ghost_value(local_fn, a, axis, side, bc, g: Grid):
     """Combine the local-BC ghost rule with the sharded halo exchange."""
     n = (g.nx, g.ny, g.nz)[axis]
     wrap = n if side < 0 else 1
+    if g.face_partners is not None:
+        # join-table connectivity: per-rank choice between the partner's
+        # plane and the local rule (local wrap when the face code says
+        # periodic -- an unjoined rank on an unsharded axis)
+        tab = g.face_partners[axis + (0 if side < 0 else 3)]
+        loc = get_plane(a, axis, wrap) if bc == PERIODIC else local_fn()
+        if all(v < 0 for v in tab):
+            return loc
+        remote = _shard_halo_plane(a, axis, side, g)
+        return jnp.where(_joined_scalar(g, axis, side), remote, loc)
     if g.topology[axis] == 1:
         if bc == PERIODIC:
             return get_plane(a, axis, wrap)

@@ -335,7 +335,7 @@ def _sort_src_q(b, nb: int, N: int, quantum: int, nhome: int = 0):
     return jnp.where(ok, q_src, t_src), home
 
 
-def _kernel3d(g: Grid, max_streak, P, nbx, nby, nbz, resident,
+def _kernel3d(g: Grid, max_streak, P, nbx, nby, nbz, resident, vbc_mark,
               w0_ref,   # scalar prefetch: (nblocks,) chart starts (lanes)
               nl_ref,   # scalar prefetch: (nblocks,) live-lane counts
               qd2_ref,  # scalar prefetch: (nblocks,) per-block qdt_2mc
@@ -529,6 +529,19 @@ def _kernel3d(g: Grid, max_streak, P, nbx, nby, nbz, resident,
                   continue
               edge = 1 if side < 0 else n_ax
               flag = flag | ((gcoord == edge) & out_m)
+      if vbc_mark:
+          # Interior per-voxel BC surfaces: table row 18 carries a 0/1
+          # 'cell has a custom face' mask (gathered for free by the same
+          # one-hot contraction as the field rows, like the 2-D window
+          # kernel); any marked-cell lane that would exit its cell is
+          # frozen for the exact outlier replay, which applies the
+          # per-face code (reflect/absorb/handler).
+          beyond_any = jnp.zeros_like(safe)
+          for pos, dp in ((dx, dpx), (dy, dpy), (dz, dpz)):
+              p_new = pos + 2.0 * dp
+              beyond_any = beyond_any | (p_new < -1.0 + eps) \
+                  | (p_new > 1.0 - eps)
+          flag = flag | ((rows[18] > 0.5) & beyond_any)
       safe = safe & ~flag
       entry_flag = live & ~safe
 
@@ -727,9 +740,10 @@ def _kernel3d(g: Grid, max_streak, P, nbx, nby, nbz, resident,
 
 
 @functools.partial(jax.jit, static_argnames=("g", "qsps", "msps",
-                                             "max_streak", "block"))
+                                             "max_streak", "block",
+                                             "vbc_mark"))
 def _run3d(sps, tab_chart, acc_chart, g: Grid, qsps, msps,
-           max_streak=4, block=1024, homes=None):
+           max_streak=4, block=1024, homes=None, vbc_mark=False):
     """All species through ONE 3-D kernel launch: block-aligned species
     segments concatenated, per-block q/m via scalar prefetch, lane state
     packed (see ops/pallas_push._run).  Table and accumulator are
@@ -837,7 +851,7 @@ def _run3d(sps, tab_chart, acc_chart, g: Grid, qsps, msps,
                                    jnp.float32)],
     )
     kernel = functools.partial(_kernel3d, g, max_streak, block,
-                               nbx, nby, nbz, resident)
+                               nbx, nby, nbz, resident, vbc_mark)
     out_shapes = [jax.ShapeDtypeStruct((8, Ntot), jnp.float32),
                   jax.ShapeDtypeStruct((nvh * 16, 128), jnp.float32),
                   jax.ShapeDtypeStruct((1, 1), jnp.int32)]
@@ -882,12 +896,13 @@ def fused_push3d(sp: SpeciesState, tab_chart, acc_chart, g: Grid,
 
 def fused_push3d_multi(sps, tab_chart, acc_chart, g: Grid, qms,
                        max_streak: int = 4, block: int = 1024,
-                       homes=None):
+                       homes=None, vbc_mark: bool = False):
     """All species through ONE 3-D brick-chart launch; ``qms`` is a
     sequence of (charge, mass), ``homes`` the per-species sort-time block
-    maps (brick_sort_p_home).  Returns (species_list, acc_chart,
-    oflag_list, oow)."""
+    maps (brick_sort_p_home), ``vbc_mark`` whether table row 18 carries
+    the interior per-voxel-BC cell mask.  Returns (species_list,
+    acc_chart, oflag_list, oow)."""
     return _run3d(tuple(sps), tab_chart, acc_chart, g,
                   tuple(float(q) for q, _ in qms),
                   tuple(float(m) for _, m in qms),
-                  max_streak, block, homes=homes)
+                  max_streak, block, homes=homes, vbc_mark=vbc_mark)
