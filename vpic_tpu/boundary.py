@@ -64,10 +64,22 @@ def compact(sp: SpeciesState, *extra):
 
 
 def _face_perm(g: Grid, face: int):
+    if g.face_partners is not None:
+        # irregular domain graph: each rank sends its face-f movers to its
+        # join-table partner (explicit flat-rank pairs over the full mesh)
+        tab = g.face_partners[face]
+        return g.mesh_axes, [(r, p) for r, p in enumerate(tab) if p >= 0]
     axis = FACE_AXIS[face]
     s = FACE_SIDE[face]
     ns = g.topology[axis]
     return g.mesh_axes[axis], [(k, (k + s) % ns) for k in range(ns)]
+
+
+def _remote_faces(g: Grid):
+    if g.face_partners is not None:
+        return [f for f in range(6)
+                if any(v >= 0 for v in g.face_partners[f])]
+    return [f for f in range(6) if g.topology[FACE_AXIS[f]] > 1]
 
 
 class MigrationStats(NamedTuple):
@@ -78,7 +90,7 @@ def _migrate_round(sp: SpeciesState, pend, disp, acc, rhob, g: Grid,
                    qsp: float, mig_cap: int, max_streak: int,
                    n_dropped, vbc=None):
     """One communication round: pack -> ppermute -> unpack -> continue walk."""
-    remote_faces = [f for f in range(6) if g.topology[FACE_AXIS[f]] > 1]
+    remote_faces = _remote_faces(g)
     if not remote_faces:
         return sp, pend, disp, acc, rhob, n_dropped
 

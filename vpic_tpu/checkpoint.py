@@ -60,7 +60,10 @@ def checkpt(state: SimState, fbase: str, tag=None, sim=None) -> str:
             grid=dict(nx=sim.grid.nx, ny=sim.grid.ny, nz=sim.grid.nz,
                       dt=sim.grid.dt, topology=list(sim.grid.topology),
                       field_bc=list(sim.grid.field_bc),
-                      particle_bc=list(sim.grid.particle_bc)),
+                      particle_bc=list(sim.grid.particle_bc),
+                      face_partners=(
+                          None if sim.grid.face_partners is None else
+                          [list(t) for t in sim.grid.face_partners])),
             user_global=getattr(sim, "user_global", {}),
         )
         with open(fname + ".json", "w") as fh:
@@ -117,6 +120,12 @@ def remap(fbase_tag: str, sim) -> SimState:
     told = tuple(gg["topology"])
     g = sim.grid
     tnew = g.topology
+    if g.face_partners is not None or gg.get("face_partners") is not None:
+        # re-decomposition assumes cartesian brick adjacency; an irregular
+        # join graph has no unique re-split across a different topology
+        raise NotImplementedError(
+            "remap across topologies is cartesian-only; restore joined "
+            "(face_partners) decks onto the same topology with restore()")
     nxo, nyo, nzo = gg["nx"], gg["ny"], gg["nz"]
     if (nxo * told[0], nyo * told[1], nzo * told[2]) != (g.gnx, g.gny,
                                                          g.gnz):

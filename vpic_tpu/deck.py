@@ -224,27 +224,52 @@ class Simulation:
 
     def join_domain(self, boundary: int, rank: int, src_rank: int = 0):
         """join_domain (grid/ops.c:119 join_grid): connect a local face to
-        another domain's opposite face.  The TPU port runs domains as
-        device-mesh shards, so regular joins are expressed through the
-        partition topology; the supported join patterns are
-        - self-join (rank == src_rank): the face pair becomes periodic
-          (sample/cygnus:96-97's 2-D y periodicity)
-        - anything else: use topology=(px,py,pz) in the partition call
-          (chained joins along an axis ARE a mesh axis -- sample/emission
-          and sample/waveguide port that way); hand-wired irregular
-          domain graphs are not supported on a device mesh."""
-        if rank != src_rank:
-            raise NotImplementedError(
-                "join_domain across ranks: express regular chains via the "
-                "partition topology; irregular domain graphs are not "
-                "representable on a jax device mesh")
-        from .grid import P_PERIODIC, PERIODIC
+        another domain's opposite face.
+        - self-join (rank == src_rank) on an unsharded axis: the face pair
+          becomes periodic (sample/cygnus:96-97's 2-D y periodicity).
+        - rank != src_rank: an irregular domain-graph join.  The grid's
+          per-face partner tables (seeded from the cartesian topology the
+          first time) record that src_rank's ``boundary`` face connects to
+          ``rank``'s opposite face; halo exchange and particle migration
+          then ride explicit flat-rank ppermute pairs (grid/ops.c:119-212's
+          hand-wired port splicing).  Joins are reciprocal: the opposite
+          entry on ``rank`` is updated (and any stale link unspliced), so
+          each face's partner map stays a valid permutation."""
         face = int(boundary)
-        axis = face % 3
-        # periodicity needs both faces of the axis; apply to the pair
-        self.grid = self.grid.with_bc(axis, fbc=PERIODIC, pbc=P_PERIODIC)
-        self.grid = self.grid.with_bc(axis + 3, fbc=PERIODIC,
-                                      pbc=P_PERIODIC)
+        if rank == src_rank:
+            from .grid import P_PERIODIC, PERIODIC
+            axis = face % 3
+            # periodicity needs both faces of the axis; apply to the pair
+            self.grid = self.grid.with_bc(axis, fbc=PERIODIC,
+                                          pbc=P_PERIODIC)
+            self.grid = self.grid.with_bc(axis + 3, fbc=PERIODIC,
+                                          pbc=P_PERIODIC)
+            return self.grid
+        import dataclasses as _dc
+        from .grid import cartesian_partners
+        g = self.grid
+        n = g.n_shards
+        if not (0 <= rank < n and 0 <= src_rank < n):
+            raise ValueError(
+                f"join_domain({face}, {rank}, {src_rank}): ranks must be "
+                f"< n_shards ({n}); partition with a topology covering "
+                "every domain first")
+        tabs = [list(t) for t in (g.face_partners
+                                  or cartesian_partners(g))]
+        opp = (face + 3) % 6
+
+        def unlink(fc, r):
+            p = tabs[fc][r]
+            if p >= 0 and tabs[(fc + 3) % 6][p] == r:
+                tabs[(fc + 3) % 6][p] = -1
+            tabs[fc][r] = -1
+
+        unlink(face, src_rank)
+        unlink(opp, rank)
+        tabs[face][src_rank] = rank
+        tabs[opp][rank] = src_rank
+        self.grid = _dc.replace(
+            g, face_partners=tuple(tuple(t) for t in tabs))
         return self.grid
 
     def set_domain_field_bc(self, face: int, bc: int):
@@ -836,6 +861,11 @@ class Simulation:
         max_cap = max((st.params.capacity for st in self.species),
                       default=0)
         on_tpu = jax.devices()[0].platform == "tpu"
+        if g.face_partners is not None:
+            # irregular domain graphs: per-rank face remoteness is traced
+            # data, which the fused kernels' static wall pre-flag cannot
+            # express -- general XLA path only
+            return False, False, False, max(1, self.pallas_sort_interval)
         chart_ok = PP3.supports3d(g, max_cap)
         sortK = max(1, self.pallas_sort_interval)
         # Chart home maps are computed by the brick sort and stay valid

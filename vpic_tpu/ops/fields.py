@@ -352,7 +352,13 @@ def _set_boundary_plane(a, axis, side, g: Grid, new_plane):
     only the shard owning the global face applies it."""
     n = (g.nx, g.ny, g.nz)[axis]
     face = 1 if side < 0 else n + 1
-    if g.topology[axis] > 1:
+    if g.face_partners is not None:
+        tab = g.face_partners[axis + (0 if side < 0 else 3)]
+        if any(v >= 0 for v in tab):
+            # joined ranks keep their plane; unjoined apply the local rule
+            new_plane = jnp.where(_joined_scalar(g, axis, side),
+                                  get_plane(a, axis, face), new_plane)
+    elif g.topology[axis] > 1:
         new_plane = jnp.where(_edge_scalar(g, axis, side), new_plane,
                               get_plane(a, axis, face))
     return set_plane(a, axis, face, new_plane)
@@ -453,7 +459,14 @@ def adjust_rhob(f: FieldState, g: Grid) -> FieldState:
 def _sync_axes(g: Grid):
     """Axes whose boundary planes are shared: (axis, cross_shard?)."""
     for axis in range(3):
-        if g.topology[axis] > 1:
+        if g.face_partners is not None:
+            if any(v >= 0 for v in g.face_partners[axis]) or \
+                    any(v >= 0 for v in g.face_partners[axis + 3]):
+                yield axis, True
+            elif (g.axis_bc(axis, -1) == PERIODIC
+                  and g.axis_bc(axis, 1) == PERIODIC):
+                yield axis, False
+        elif g.topology[axis] > 1:
             yield axis, True
         elif (g.axis_bc(axis, -1) == PERIODIC
               and g.axis_bc(axis, 1) == PERIODIC):
@@ -480,6 +493,31 @@ def _combine_shared(a, axis: int, g: Grid, cross: bool, mode: str,
             err = jnp.sum((lo - hi) ** 2)
         a = set_plane(a, axis, 1, v)
         a = set_plane(a, axis, n + 1, v)
+        return a, err
+    if g.face_partners is not None:
+        # join-table mode: per-rank choice between the partner combine,
+        # the local periodic wrap (unjoined rank, locally periodic axis),
+        # and keeping the local plane (unjoined rank, local BC)
+        tab_lo = g.face_partners[axis]
+        tab_hi = g.face_partners[axis + 3]
+        up = [(p, r) for r, p in enumerate(tab_lo) if p >= 0]
+        down = [(p, r) for r, p in enumerate(tab_hi) if p >= 0]
+        recv_lo = jax.lax.ppermute(hi, g.mesh_axes, up)
+        recv_hi = jax.lax.ppermute(lo, g.mesh_axes, down)
+        j_lo = _joined_scalar(g, axis, -1)
+        j_hi = _joined_scalar(g, axis, 1)
+        local_wrap = (g.axis_bc(axis, -1) == PERIODIC
+                      and g.axis_bc(axis, 1) == PERIODIC)
+        base = _combine(lo, hi, mode) if local_wrap else None
+        new_lo = jnp.where(j_lo, _combine(lo, recv_lo, mode),
+                           base if base is not None else lo)
+        new_hi = jnp.where(j_hi, _combine(hi, recv_hi, mode),
+                           base if base is not None else hi)
+        if want_err:
+            err = jnp.sum(jnp.where(j_lo, (lo - recv_lo) ** 2, 0.0)) \
+                + jnp.sum(jnp.where(j_hi, (hi - recv_hi) ** 2, 0.0))
+        a = set_plane(a, axis, 1, new_lo)
+        a = set_plane(a, axis, n + 1, new_hi)
         return a, err
     name = g.mesh_axes[axis]
     ns = g.topology[axis]

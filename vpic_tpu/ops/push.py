@@ -344,7 +344,14 @@ def _ensure_varying(a, names):
 def _edge_masks(g: Grid, ax: int):
     """For a device-mesh-sharded axis, whether THIS shard owns the global
     low/high domain face (requires being inside shard_map).  Unsharded axes
-    always own both."""
+    always own both.  With an irregular join table, a face is 'edge'
+    (applies its local BC) iff it has no partner."""
+    if g.face_partners is not None:
+        from ..grid import flat_rank
+        fr = flat_rank(g)
+        lo = jnp.asarray(g.face_partners[ax])[fr] < 0
+        hi = jnp.asarray(g.face_partners[ax + 3])[fr] < 0
+        return lo, hi
     if g.topology[ax] == 1:
         return True, True
     idx = jax.lax.axis_index(g.mesh_axes[ax])
@@ -501,9 +508,13 @@ def streak_walk(g: Grid, qsp, w, pos, disp, coords, u, active, alive,
                 bc = g.axis_bc(ax, side, particles=True)
                 is_edge = is_lo_edge if side < 0 else is_hi_edge
                 face = ax + (0 if side < 0 else 3)
+                has_partner = (g.face_partners is not None and
+                               any(v >= 0 for v in g.face_partners[face]))
                 # On a device-mesh-sharded axis, only the outermost shard
                 # applies the global-domain BC; interior faces migrate.
-                if g.topology[ax] > 1 and bc != P_REMOTE:
+                # Join-table faces migrate per rank (is_edge is the
+                # per-rank unjoined mask).
+                if (g.topology[ax] > 1 or has_partner) and bc != P_REMOTE:
                     out_m = out_all & is_edge
                     out_remote = out_all & ~is_edge
                     pend = jnp.where(out_remote, face, pend)

@@ -111,3 +111,30 @@ def dryrun(n_devices: int) -> None:
     en2 = sim2.energies(state2)
     assert bool(jax.numpy.isfinite(en2).all()), "chart-2D: non-finite"
     print(f"dryrun_multichip({n_devices}): chart-2D ok")
+
+    # and one step of an IRREGULAR domain graph (join_domain across
+    # ranks, per-face partner-table ppermutes): a 4-rank x line spliced
+    # into two independent 2-rank periodic rings
+    if n_devices >= 4:
+        import vpic_tpu as vt
+        simj = vt.Simulation(seed=0)
+        simj.define_units(1.0, 1.0)
+        g0 = vt.partition_periodic_box(0, 0, 0, 4.0, 1.0, 0.125,
+                                       32, 8, 1)
+        simj.define_timestep(0.7 * g0.courant_length())
+        simj.define_periodic_grid((0, 0, 0), (4.0, 1.0, 0.125),
+                                  (32, 8, 1), (4, 1, 1))
+        simj.define_material("vacuum", 1.0)
+        simj.define_field_array(damp=0.0)
+        ele = simj.define_species("electron", -1.0, 1.0, 256)
+        for i in range(64):
+            simj.inject_particle(ele, 0.0625 * i + 0.03, 0.5, 0.0625,
+                                 0.5, 0.1, 0.0, w=1.0)
+        simj.join_domain(3, 1, 0)
+        simj.join_domain(3, 0, 1)
+        simj.join_domain(3, 3, 2)
+        simj.join_domain(3, 2, 3)
+        statej = simj.make_step()(simj.initialize())
+        jax.block_until_ready(statej.fields.ex)
+        assert int(np.asarray(statej.species[0].np).sum()) == 64
+        print(f"dryrun_multichip({n_devices}): irregular-join ok")
