@@ -228,3 +228,55 @@ def test_fused3d_interior_absorber_matches_general():
     ra, rb = outs[False][1], outs[True][1]
     np.testing.assert_allclose(rb, ra, atol=2e-6 * max(np.abs(ra).max(),
                                                        1e-30))
+
+
+@pytest.mark.slow
+def test_chart2d_interior_absorber_matches_general():
+    """2-D brick-chart kernel (pallas_chart2d=True) with an interior
+    absorbing surface: the chart table's mark row + outlier replay must
+    track the general path like the window kernel does."""
+    def build2(use_pallas):
+        sim = vt.Simulation(seed=7)
+        sim.define_units(1.0, 1.0)
+        nx, ny = 32, 24              # chart-compatible (16x8 bricks)
+        g0 = vt.partition_periodic_box(0, 0, 0, 1.0, 0.75, 1.0 / 32,
+                                       nx, ny, 1)
+        sim.define_timestep(0.7 * g0.courant_length())
+        sim.define_periodic_grid((0, 0, 0), (1.0, 0.75, 1.0 / 32),
+                                 (nx, ny, 1))
+        sim.define_material("vacuum", 1.0)
+        sim.define_field_array(damp=0.0)
+        ele = sim.define_species("electron", -1.0, 1.0, 2048)
+        rng = np.random.default_rng(3)
+        k = 0
+        while k < 400:
+            x = rng.uniform(0, 1)
+            y = rng.uniform(0, 0.75)
+            if 0.4 < x < 0.6 and 0.3 < y < 0.45:
+                continue
+            u = rng.normal(0, 0.3, 3)
+            sim.inject_particle(ele, x, y, 1.0 / 64, *u, w=1.0)
+            k += 1
+        sim.set_region_particle_bc(
+            lambda x, y, z: (0.4 < x < 0.6) and (0.3 < y < 0.45),
+            ABSORB_PARTICLES)
+        if use_pallas:
+            sim.use_pallas = True
+            sim.pallas_chart2d = True
+        else:
+            sim.use_pallas = False
+        return sim
+
+    outs = {}
+    for up in (False, True):
+        sim = build2(up)
+        if up:
+            assert sim._fused_mode()[2], "2-D chart path not selected"
+        state = sim.initialize()
+        adv = jax.jit(sim.make_advance())
+        for _ in range(4):
+            state = adv(state)
+        outs[up] = int(np.asarray(state.species[0].live).sum())
+    assert outs[True] < 400, "interior absorber never fired"
+    assert outs[True] == outs[False], \
+        f"chart {outs[True]} vs general {outs[False]} survivors"
