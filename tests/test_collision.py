@@ -181,3 +181,67 @@ def test_fluid_collision_models():
             species, key = op(species, None, g, jnp.int32(step), key)
         uz1 = float(jnp.mean(jnp.where(species[0].live, species[0].uz, 0)))
         assert uz1 < 0.9 * uz0
+
+
+def test_large_pr_subcycling_compensates():
+    """pr >> 1 saturation (VERDICT r4 item 6): a single Bernoulli draw
+    caps each candidate at ONE collision per application, under-scattering
+    dense/cold voxels; pr_rounds=R sub-cycles at pr/R each so the collision
+    count approaches Poisson(pr) (the reference only WARNS here,
+    binary_pipeline.c:188-199).  Oracle: fixed-small-angle scattering of a
+    cold beam off a heavy target -- transverse energy grows linearly with
+    the number of scatters, so R=4 at pr=3 must yield ~3x the transverse
+    temperature of R=1 (which saturates at 1 scatter)."""
+    g = grid(dt=0.1)
+    se = SpeciesParams("b", -1.0, 1.0, 4096, id=0)
+    st = SpeciesParams("t", 1.0, 1e6, 4096, id=1)   # immovable target
+    theta0 = 0.05
+    PR = 3.0
+
+    def rate(ur, p):
+        # pr = w_max * (dt*interval/dV) * (nl/sample) * K = PR exactly:
+        # one target per voxel (nl=1), w=1
+        return PR / (g.dt * 1 / g.dV)
+
+    def angle(key, ur, p, pr):
+        c = jnp.full_like(ur, math.cos(theta0))
+        s = jnp.full_like(ur, math.sin(theta0))
+        return c, s
+
+    model = C.BinaryModel("smallangle", rate, angle, {})
+
+    def run(pr_rounds, n_apps=8):
+        beam = make_species(2048, uth=(0.0, 0.0, 0.0), seed=3, g=g,
+                            cap=4096)
+        beam = beam.replace(ux=jnp.where(beam.live, 1.0, 0.0))
+        # exactly one target per voxel: voxel ids 0.. remapped to interior
+        tgt = make_species(g.nx * g.ny * g.nz, uth=(0, 0, 0), seed=4,
+                           g=g, cap=4096)
+        vox = [g.voxel(x, y, z) for z in range(1, g.nz + 1)
+               for y in range(1, g.ny + 1) for x in range(1, g.nx + 1)]
+        vi = np.zeros(4096, np.int32)
+        vi[:len(vox)] = vox
+        tgt = tgt.replace(i=jnp.asarray(vi),
+                          ux=tgt.ux * 0, uy=tgt.uy * 0, uz=tgt.uz * 0)
+        op = C.make_binary_op(model, 0, 1, se, st, sample=1.0, interval=1,
+                              pr_rounds=pr_rounds)
+        diag = op.diag_init()
+        species = [beam, tgt]
+        key = jax.random.PRNGKey(5)
+        for step in range(n_apps):
+            species, key, diag = op(species, None, g, jnp.int32(step),
+                                    key, diag)
+        b = species[0]
+        m = np.asarray(b.live)
+        t_perp = float(np.mean(np.asarray(b.uy)[m] ** 2
+                               + np.asarray(b.uz)[m] ** 2))
+        return t_perp, int(diag["coll_large_pr:smallangle:0:1"])
+
+    tp1, nl1 = run(1)
+    tp4, nl4 = run(4)
+    # R=1 saturates at 1 scatter/application; R=4 delivers ~3
+    ratio = tp4 / tp1
+    assert 2.2 < ratio < 3.8, f"transverse heating ratio {ratio}"
+    # the saturation tally fires for R=1 (pr=3>1) and not for R=4 (pr<4)
+    assert nl1 > 0
+    assert nl4 == 0

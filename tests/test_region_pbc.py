@@ -274,7 +274,9 @@ def test_chart2d_interior_absorber_matches_general():
             assert sim._fused_mode()[2], "2-D chart path not selected"
         state = sim.initialize()
         adv = jax.jit(sim.make_advance())
-        for _ in range(4):
+        # 30 steps: first absorption fires near step 10 with this load
+        # (4 steps was too few for any particle to reach the region).
+        for _ in range(30):
             state = adv(state)
         outs[up] = int(np.asarray(state.species[0].live).sum())
     assert outs[True] < 400, "interior absorber never fired"

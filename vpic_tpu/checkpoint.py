@@ -86,6 +86,14 @@ def restore(fbase_tag: str, sim=None) -> SimState:
                 tuple(gg["topology"]) != tuple(sim.grid.topology):
             raise ValueError("checkpoint grid/topology mismatch: "
                              f"{gg} vs {sim.grid}")
+        fp_saved = gg.get("face_partners")
+        fp_saved = (None if fp_saved is None else
+                    tuple(tuple(t) for t in fp_saved))
+        if fp_saved != sim.grid.face_partners:
+            raise ValueError(
+                "checkpoint domain-graph (face_partners) mismatch: saved "
+                f"{fp_saved} vs deck {sim.grid.face_partners}; restore "
+                "joined decks onto a sim with identical join_domain calls")
         sim.num_step = cfg["num_step"]
         sim.user_global = cfg.get("user_global", {})
 

@@ -120,25 +120,47 @@ class BinaryModel:
     # theta sampler: (key, ur, pr-like aux) -> (cos_t, sin_t)
     sample_angle: Callable
     params: dict
+    # cumulative models (T&A) fold pr to 1 and carry the rate in the
+    # scattering variance: exempt from large-pr tallies and sub-cycling
+    saturates: bool = False
 
 
 def make_binary_op(model: BinaryModel, spi_idx: int, spj_idx: int,
                    spi: SpeciesParams, spj: SpeciesParams,
-                   sample: float = 1.0, interval: int = 1):
+                   sample: float = 1.0, interval: int = 1,
+                   pr_rounds: int = 1):
     """Build a collision op callable for Simulation.collision_ops.
 
-    Signature: (species_list, fields, grid, step, rng) -> (species, rng).
-    """
+    Signature: (species_list, fields, grid, step, rng[, diag]) ->
+    (species, rng[, diag]).
+
+    Large collision probabilities: a single Bernoulli draw against pr
+    under-scatters once pr >~ 1 (dense/cold voxels, long intervals).  The
+    reference detects this and WARNS that "the collision rate for such
+    pairs will be lower than it should be physically"
+    (binary_pipeline.c:131-199); here the count of saturated candidates
+    rides the jit-carried diag dict (key ``coll_large_pr:<name>:i:j``) when
+    the deck plumbs one.  ``pr_rounds`` > 1 goes beyond the reference and
+    COMPENSATES by sub-cycling: each application runs ``pr_rounds``
+    independent pairing+scatter rounds at pr/pr_rounds each (collision
+    count per pair -> Binomial(R, pr/R) ~ Poisson(pr)), keeping the
+    physical rate up to pr ~ pr_rounds at pr_rounds x the cost."""
     mi, mj = spi.m, spj.m
     mu = mi * mj / (mi + mj)
     intra = spi_idx == spj_idx
+    if pr_rounds < 1:
+        raise ValueError("pr_rounds must be >= 1")
+    if getattr(model, "saturates", False) and pr_rounds != 1:
+        raise ValueError(
+            f"{model.name}: cumulative models fold pr into the scattering "
+            "strength; sub-cycling would double-count the rate")
+    tally_key = f"coll_large_pr:{model.name}:{spi_idx}:{spj_idx}"
+    tally = not getattr(model, "saturates", False)
 
-    def op(species, f, g: Grid, step, rng):
-        def apply(args):
-            species, rng = args
+    def op(species, f, g: Grid, step, rng, diag=None):
+        def one_round(species, keys, nlarge, count_large):
+            k_shuf_i, k_shuf_j, k_pr, k_phi, k_theta, k_bal = keys
             species = list(species)
-            k_shuf_i, k_shuf_j, k_pr, k_phi, k_theta, k_bal, rng2 = \
-                jax.random.split(jax.random.fold_in(rng, step), 7)
             si = shuffle_sort(species[spi_idx], k_shuf_i)
             sj = si if intra else shuffle_sort(species[spj_idx], k_shuf_j)
             start_i, cnt_i = cell_partition(si, g)
@@ -178,7 +200,11 @@ def make_binary_op(model: BinaryModel, spi_idx: int, spj_idx: int,
             K = model.rate_constant(ur, model.params)
             w_max = jnp.maximum(wi_, wj_)
             w_min = jnp.minimum(wi_, wj_)
-            pr = jnp.where(same, w_max * pr_norm * K, 0.0)
+            pr_full = jnp.where(same, w_max * pr_norm * K, 0.0)
+            if count_large:
+                nlarge = nlarge + jnp.sum(
+                    (pr_full > pr_rounds).astype(jnp.int32))
+            pr = pr_full / pr_rounds
             hit = jax.random.uniform(k_pr, pr.shape) < pr
 
             cos_t, sin_t = model.sample_angle(k_theta, ur, model.params, pr)
@@ -210,14 +236,36 @@ def make_binary_op(model: BinaryModel, spi_idx: int, spj_idx: int,
                     uz=sj.uz.at[ib].add(-fj * ddz))
                 species[spi_idx] = si
                 species[spj_idx] = sj
-            return tuple(species), rng2
+            return tuple(species), nlarge
 
+        def apply(args):
+            species, rng, nlarge = args
+            base = jax.random.fold_in(rng, step)
+            rng2 = jax.random.fold_in(base, pr_rounds)  # distinct from rounds
+            for r in range(pr_rounds):
+                keys = jax.random.split(jax.random.fold_in(base, r), 6)
+                species, nlarge = one_round(species, keys, nlarge,
+                                            tally and r == 0)
+            return species, rng2, nlarge
+
+        nlarge0 = (diag[tally_key] if diag is not None and
+                   tally_key in diag else jnp.zeros((), jnp.int32))
         if interval <= 0:
-            return species, rng
-        species, rng = jax.lax.cond(step % interval == 0, apply,
-                                    lambda a: a, (tuple(species), rng))
-        return list(species), rng
+            out = species, rng, nlarge0
+        else:
+            out = jax.lax.cond(step % interval == 0, apply, lambda a: a,
+                               (tuple(species), rng, nlarge0))
+        species, rng, nlarge = out
+        if diag is None:
+            return list(species), rng
+        diag = dict(diag)
+        if tally:
+            diag[tally_key] = nlarge
+        return list(species), rng, diag
 
+    op.has_diag = True
+    if tally:
+        op.diag_init = lambda: {tally_key: jnp.zeros((), jnp.int32)}
     return op
 
 
@@ -303,7 +351,8 @@ def make_takizuka_abe_op(spi_idx: int, spj_idx: int, spi: SpeciesParams,
         sin_t = 2.0 * delta / (1.0 + delta * delta)
         return cos_t, sin_t
 
-    model = BinaryModel("takizuka-abe", rate, angle, dict(n_local=n0))
+    model = BinaryModel("takizuka-abe", rate, angle, dict(n_local=n0),
+                        saturates=True)
     return make_binary_op(model, spi_idx, spj_idx, spi, spj,
                           sample=sample, interval=interval)
 

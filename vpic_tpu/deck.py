@@ -786,6 +786,28 @@ class Simulation:
     def initialize(self, key=None) -> SimState:
         """Post-deck derived-state fixups (initialize.cc:5-64)."""
         g = self.grid
+        if g.face_partners is not None:
+            # A rank whose face carries P_REMOTE but has no partner in the
+            # join table would park its exiting particles for a migration
+            # that never happens (boundary._face_perm excludes unjoined
+            # ranks from the ppermute pairs): silent particle loss with no
+            # rhob deposit.  join_domain's unsplicing makes this state easy
+            # to reach; refuse it here instead (grid/ops.c:119-212 joins
+            # must leave every remote port wired).
+            from .grid import P_REMOTE as _P_REMOTE
+            for face in range(6):
+                if g.particle_bc[face] != _P_REMOTE:
+                    continue
+                bad = [r for r, p in enumerate(g.face_partners[face])
+                       if p < 0]
+                if bad:
+                    raise ValueError(
+                        f"initialize(): face {face} has particle bc "
+                        f"P_REMOTE but ranks {bad} are unjoined in the "
+                        "domain graph -- their exiting particles would be "
+                        "silently destroyed.  join_domain() every rank's "
+                        "face or set an explicit per-face particle BC "
+                        "(set_domain_particle_bc) first.")
         m_global = self._material_coeffs()
         f = self._build_initial_fields()
         species, urbs = self._pack_species()
@@ -834,6 +856,9 @@ class Simulation:
         for face, h in self.pbc_handlers.items():
             if hasattr(h, "diag_init"):
                 diag.update(h.diag_init(sp_params, face))
+        for cop in self.collision_ops:
+            if hasattr(cop, "diag_init"):
+                diag.update(cop.diag_init())
         if self._fused_mode()[2]:
             # chart-kernel decks carry per-species block -> home-brick
             # maps (written by the brick sort, read by the push); zeros
@@ -990,7 +1015,10 @@ class Simulation:
 
             # --- collisions (before push; advance.cc:45-47) ---
             for op in collision_ops:
-                species, rng = op(species, f, g, step, rng)
+                if getattr(op, "has_diag", False):
+                    species, rng, diag = op(species, f, g, step, rng, diag)
+                else:
+                    species, rng = op(species, f, g, step, rng)
             if u_collide is not None:
                 species, rng = u_collide(species, f, g, step, rng)
 

@@ -13,16 +13,39 @@ from .state import FieldState, MaterialCoeffs
 
 def poynting_flux(f: FieldState, g: Grid, e0: float = 1.0):
     """Average Poynting flux through the low-x boundary plane
-    (diagnostics.cc:34-81): mean over the x=1 face of
-    ey*<cbz> - ez*<cby> with cb averaged across the face, scaled by e0^2
-    (the caller's field normalization, as in the reference)."""
-    ey = f.ey[1:-1, 1:-1, 1]
-    ez = f.ez[1:-1, 1:-1, 1]
-    cbz = 0.5 * (f.cbz[1:-1, 1:-1, 0] + f.cbz[1:-1, 1:-1, 1])
-    cby = 0.5 * (f.cby[1:-1, 1:-1, 0] + f.cby[1:-1, 1:-1, 1])
+    (diagnostics.cc:34-81): (ey*<cbz> - ez*<cby>) / (cvac^2 e0^2) sampled
+    one x-plane inside the global low-x face, summed over the reference's
+    j,k in [1, n) transverse range, ONLY on ix==0 domains (RANK_TO_INDEX
+    gate, diagnostics.cc:50-51), and normalized by the GLOBAL
+    boundary-plane sample count (gpsum /= stride*py*pz, :75).
+
+    Degenerate transverse axes (ny==1 or nz==1, where the reference's
+    (n-1)-point range is empty and its normalization divides by zero) fall
+    back to the single interior sample on that axis.
+
+    Shard-local inside shard_map on decomposed grids; a global sharded
+    FieldState (leading topology dims) is auto-lifted."""
+    if g.sharded and f.ey.ndim > 3:
+        import jax
+        from .parallel.mesh import make_mesh, shard_reduce_fn
+        fn = lambda ff: poynting_flux(ff, g, e0)
+        return jax.jit(shard_reduce_fn(fn, g, make_mesh(g)))(f)
+    ys = slice(2, g.ny + 1) if g.ny > 1 else slice(1, 2)
+    zs = slice(2, g.nz + 1) if g.nz > 1 else slice(1, 2)
+    ey = f.ey[zs, ys, 2]
+    ez = f.ez[zs, ys, 2]
+    cbz = 0.5 * (f.cbz[zs, ys, 1] + f.cbz[zs, ys, 2])
+    cby = 0.5 * (f.cby[zs, ys, 1] + f.cby[zs, ys, 2])
     s = ey * cbz - ez * cby
-    local = jnp.sum(s) / s.size
-    return F.all_sum(local, g) * (e0 * e0) / max(g.n_shards, 1)
+    local = jnp.sum(s) / (g.cvac * g.cvac * e0 * e0)
+    if g.sharded:
+        import jax
+        ix = jax.lax.axis_index(g.mesh_axes[0])
+        local = jnp.where(ix == 0, local, 0.0)
+    ny_eff = (g.ny - 1) if g.ny > 1 else 1
+    nz_eff = (g.nz - 1) if g.nz > 1 else 1
+    return F.all_sum(local, g) / (ny_eff * nz_eff
+                                  * g.topology[1] * g.topology[2])
 
 
 def gauss_error(sim, state):

@@ -25,10 +25,13 @@ from .state import SpeciesParams, SpeciesState
 CHILD_LANGMUIR_NORM = 4.0 * math.sqrt(2.0) / 9.0  # Child law prefactor
 
 
-def surface_components(g: Grid, region: Callable, shard=(0, 0, 0)):
-    """Scan the region predicate over cell centers and return the (voxel,
-    face) components of its surface: faces of inside-cells whose neighbor
-    is outside or beyond the domain (define_surface_emitter semantics)."""
+def _region_inside(g: Grid, region: Callable, shard):
+    """Rasterize the region predicate over the shard's ghosted brick (cell
+    centers in GLOBAL coordinates -- deck/wrapper.h:310-383 region scans run
+    per MPI rank with each rank's own offsets).  Ghost cells at shard seams
+    take their true region value (so surfaces crossing a seam are not
+    spuriously detected); ghost cells beyond the GLOBAL domain are outside
+    (beyond-domain faces count as surface)."""
     x0 = g.x0 + shard[0] * g.nx * g.dx
     y0 = g.y0 + shard[1] * g.ny * g.dy
     z0 = g.z0 + shard[2] * g.nz * g.dz
@@ -37,20 +40,74 @@ def surface_components(g: Grid, region: Callable, shard=(0, 0, 0)):
     zc = z0 + g.dz * (np.arange(g.NZ) - 0.5)
     Z, Y, X = np.meshgrid(zc, yc, xc, indexing="ij")
     inside = np.vectorize(region, otypes=[bool])(X, Y, Z)
-    inside[0, :, :] = inside[-1, :, :] = False
-    inside[:, 0, :] = inside[:, -1, :] = False
-    inside[:, :, 0] = inside[:, :, -1] = False
+    for ax, (n, gn, off) in enumerate((
+            (g.NX, g.gnx, shard[0] * g.nx),
+            (g.NY, g.gny, shard[1] * g.ny),
+            (g.NZ, g.gnz, shard[2] * g.nz))):
+        gi = off + np.arange(n) - 1          # global cell id per local index
+        edge = (gi < 0) | (gi >= gn)
+        sl = [slice(None)] * 3
+        sl[2 - ax] = edge                    # inside is [z, y, x]-ordered
+        inside[tuple(sl)] = False
+    return inside
 
+
+def _shard_iter(g: Grid):
+    px, py, pz = g.topology
+    for sx in range(px):
+        for sy in range(py):
+            for sz in range(pz):
+                yield (sx, sy, sz)
+
+
+def _pack_sharded(g: Grid, per_shard):
+    """Pad per-shard (vox, face) lists to a common length and stack with
+    leading topology dims; returns (vox, face, valid) for axis_index
+    slicing inside the jitted step (the set_region_material pattern)."""
+    M = max(1, max(len(v) for v, _ in per_shard))
+    px, py, pz = g.topology
+    vox = np.zeros((px, py, pz, M), np.int32)
+    fac = np.zeros((px, py, pz, M), np.int32)
+    val = np.zeros((px, py, pz, M), bool)
+    for (sx, sy, sz), (v, f) in zip(_shard_iter(g), per_shard):
+        vox[sx, sy, sz, :len(v)] = v
+        fac[sx, sy, sz, :len(f)] = f
+        val[sx, sy, sz, :len(v)] = True
+    return vox, fac, val
+
+
+def _surface_scan(g: Grid, region: Callable, shard):
+    inside = _region_inside(g, region, shard)
     vox, faces = [], []
     offs = {0: (0, 0, -1), 1: (0, -1, 0), 2: (-1, 0, 0),
             3: (0, 0, 1), 4: (0, 1, 0), 5: (1, 0, 0)}  # [dz,dy,dx] per face
-    idx = np.argwhere(inside)
+    interior = inside.copy()
+    interior[0, :, :] = interior[-1, :, :] = False
+    interior[:, 0, :] = interior[:, -1, :] = False
+    interior[:, :, 0] = interior[:, :, -1] = False
+    idx = np.argwhere(interior)
     for (z, y, x) in idx:
         for f, (dz, dy, dx) in offs.items():
             if not inside[z + dz, y + dy, x + dx]:
                 vox.append(int(x + g.NX * (y + g.NY * z)))
                 faces.append(f)
     return (np.asarray(vox, np.int32), np.asarray(faces, np.int32))
+
+
+def surface_components(g: Grid, region: Callable, shard=None):
+    """Scan the region predicate over cell centers and return the (voxel,
+    face) components of its surface: faces of inside-cells whose neighbor
+    is outside or beyond the global domain (define_surface_emitter
+    semantics).  On a decomposed grid (shard=None, g.sharded) every shard
+    is rasterized with its own global offsets and the lists are padded /
+    stacked with leading topology dims plus a validity mask; pass an
+    explicit shard tuple to scan one brick."""
+    if shard is not None:
+        return _surface_scan(g, region, shard)
+    if not g.sharded:
+        return _surface_scan(g, region, (0, 0, 0))
+    return _pack_sharded(g, [_surface_scan(g, region, s)
+                             for s in _shard_iter(g)])
 
 
 def child_langmuir(sp_idx: int, spp: SpeciesParams, components,
@@ -62,19 +119,39 @@ def child_langmuir(sp_idx: int, spp: SpeciesParams, components,
     particles with weight w = norm_axis sqrt(|E_n|^3), half-Maxwellian
     parallel momentum, random subcell position, random age (partial push
     through the streak walk), and -q rhob bookkeeping."""
-    vox_np, face_np = components
-    nc = len(vox_np)
-    if nc == 0:
+    sharded = len(components) == 3
+    if sharded:
+        vox_np, face_np, val_np = components
+        total = int(val_np.sum())
+    else:
+        vox_np, face_np = components
+        val_np = None
+        total = vox_np.shape[-1]
+    nc = vox_np.shape[-1]
+    if total == 0:
         return lambda species, f, fcoef, acc, rhob, g, step, rng: \
             (species, acc, rhob, rng)
-    vox_c = jnp.asarray(np.repeat(vox_np, n_emit_per_face))
-    face_c = jnp.asarray(np.repeat(face_np, n_emit_per_face))
+    rep = lambda a: np.repeat(a, n_emit_per_face, axis=-1)
+    vox_r, face_r = rep(vox_np), rep(face_np)
+    val_r = rep(val_np) if sharded else None
     M = nc * n_emit_per_face
-    e_col = jnp.asarray(np.array([0, 4, 8], np.int32))  # ex, ey, ez coeff col
 
     def op(species, f, fcoef, acc, rhob, g: Grid, step, rng):
         species = list(species)
         sp = species[sp_idx]
+        if sharded:
+            # slice this shard's component list (leading topology dims,
+            # the set_region_material pattern) and decorrelate the per-
+            # shard emission RNG streams
+            from .grid import flat_rank
+            idx = tuple(jax.lax.axis_index(a) for a in g.mesh_axes)
+            vox_c = jnp.asarray(vox_r)[idx]
+            face_c = jnp.asarray(face_r)[idx]
+            valid = jnp.asarray(val_r)[idx]
+            rng = jax.random.fold_in(rng, flat_rank(g))
+        else:
+            vox_c, face_c, valid = jnp.asarray(vox_r), jnp.asarray(face_r), \
+                None
         key = jax.random.fold_in(rng, step)
         k1, k2, k3, k4, k5, k6, rng2 = jax.random.split(key, 7)
 
@@ -82,8 +159,11 @@ def child_langmuir(sp_idx: int, spp: SpeciesParams, components,
         side = jnp.asarray(FACE_SIDE, jnp.int32)[face_c]
         # Emission direction: inward normal (low faces emit +, high faces -).
         dirn = jnp.where(side < 0, 1.0, -1.0)
+        e_col = jnp.asarray([0, 4, 8], jnp.int32)  # ex, ey, ez coeff col
         e_n = fcoef[vox_c, e_col[axis]]
         eligible = dirn * spp.q * e_n > abs(spp.q) * thresh_e_norm
+        if valid is not None:
+            eligible = eligible & valid
 
         qsp = spp.q
         pref = (norm * g.eps0 * g.dt) / (math.sqrt(abs(qsp * spp.m))
@@ -167,17 +247,8 @@ def _face_axis_arr():
     return jnp.asarray(FACE_AXIS, jnp.int32)
 
 
-def volume_components(g: Grid, region: Callable, shard=(0, 0, 0)):
-    """define_volume_emitter scan (deck/wrapper.h:310-383): every face of
-    every cell inside the region is an emission component."""
-    x0 = g.x0 + shard[0] * g.nx * g.dx
-    y0 = g.y0 + shard[1] * g.ny * g.dy
-    z0 = g.z0 + shard[2] * g.nz * g.dz
-    xc = x0 + g.dx * (np.arange(g.NX) - 0.5)
-    yc = y0 + g.dy * (np.arange(g.NY) - 0.5)
-    zc = z0 + g.dz * (np.arange(g.NZ) - 0.5)
-    Z, Y, X = np.meshgrid(zc, yc, xc, indexing="ij")
-    inside = np.vectorize(region, otypes=[bool])(X, Y, Z)
+def _volume_scan(g: Grid, region: Callable, shard):
+    inside = _region_inside(g, region, shard)
     inside[0, :, :] = inside[-1, :, :] = False
     inside[:, 0, :] = inside[:, -1, :] = False
     inside[:, :, 0] = inside[:, :, -1] = False
@@ -188,6 +259,18 @@ def volume_components(g: Grid, region: Callable, shard=(0, 0, 0)):
             vox.append(int(x + g.NX * (y + g.NY * z)))
             faces.append(f)
     return (np.asarray(vox, np.int32), np.asarray(faces, np.int32))
+
+
+def volume_components(g: Grid, region: Callable, shard=None):
+    """define_volume_emitter scan (deck/wrapper.h:310-383): every face of
+    every cell inside the region is an emission component.  Sharded like
+    surface_components."""
+    if shard is not None:
+        return _volume_scan(g, region, shard)
+    if not g.sharded:
+        return _volume_scan(g, region, (0, 0, 0))
+    return _pack_sharded(g, [_volume_scan(g, region, s)
+                             for s in _shard_iter(g)])
 
 
 def runtime_inject(sp: SpeciesState, g: Grid, acc, rhob, key,
