@@ -58,6 +58,8 @@ _SLOW = {
     "test_absorb_tally_survives_scan_multistep", "test_unary_framework",
     "test_strided_field_hydro_dumps", "test_absorb_tally_removes_and_charges",
     "test_interior_absorber_general_path",
+    "test_joined_deck_runs_fused_with_parity",
+    "test_chart2d_interior_absorber_matches_general",
 }
 
 

@@ -123,6 +123,40 @@ def test_twisted_pairs_match_independent_runs():
     assert np_per_rank[2:].sum() == 180
 
 
+@pytest.mark.slow
+def test_joined_deck_runs_fused_with_parity():
+    """Round-4 VERDICT item 8: joined decks ride the fused kernel (joined
+    faces pre-flag ALL crossers; the exact outlier pass routes them with
+    the traced per-rank tables).  The twisted-ring deck must select the
+    fused path and match the general path: exact per-ring census, energies
+    to fused-deposit tolerance."""
+    pa = _parts(1, 180, 2.0)
+    pb = _parts(2, 180, 2.0)
+    outs = {}
+    for up in (False, True):
+        sim = _build(32, (4, 1, 1), 4.0, [(0.0, pa), (2.0, pb)])
+        sim.join_domain(3, 1, 0)
+        sim.join_domain(3, 0, 1)
+        sim.join_domain(3, 3, 2)
+        sim.join_domain(3, 2, 3)
+        sim.use_pallas = up
+        if up:
+            assert sim._fused_mode()[0], \
+                "joined deck did not select the fused path"
+        s = _run(sim, 3)
+        outs[up] = (np.asarray(sim.energies(s)),
+                    np.asarray(s.species[0].np).reshape(-1))
+    eF, npF = outs[True]
+    eG, npG = outs[False]
+    assert npF.sum() == 360 and npF[:2].sum() == 180   # isolation holds
+    np.testing.assert_array_equal(npF, npG)            # same migration
+    # 3-step horizon: the drifting-beam deck amplifies f32 lowering
+    # differences exponentially (measured fused-vs-general dK is 6e-4
+    # relative at step 3 WITHOUT joins, 2% by step 6) -- the comparison
+    # must sit before the blow-up, like the ring test above.
+    np.testing.assert_allclose(eF, eG, rtol=5e-3, atol=1e-5 * eG.sum())
+
+
 def test_join_domain_table_editing():
     """Splice/unsplice bookkeeping: joins are reciprocal and stale links
     are removed so each face table stays a partial permutation."""

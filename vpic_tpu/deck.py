@@ -886,11 +886,10 @@ class Simulation:
         max_cap = max((st.params.capacity for st in self.species),
                       default=0)
         on_tpu = jax.devices()[0].platform == "tpu"
-        if g.face_partners is not None:
-            # irregular domain graphs: per-rank face remoteness is traced
-            # data, which the fused kernels' static wall pre-flag cannot
-            # express -- general XLA path only
-            return False, False, False, max(1, self.pallas_sort_interval)
+        # Irregular domain graphs (join_domain) run fused since round 4:
+        # joined faces read as remote in _eff_bc, so ALL their crossers
+        # are pre-flagged and replayed by the exact XLA outlier pass with
+        # the general path's traced per-rank routing.
         chart_ok = PP3.supports3d(g, max_cap)
         sortK = max(1, self.pallas_sort_interval)
         # Chart home maps are computed by the brick sort and stay valid
@@ -937,7 +936,12 @@ class Simulation:
                 sortK = min(sortK, PP3.CH2_HALO)
         return use_fused, fused2, fused3, sortK
 
-    def make_advance(self) -> Callable[[SimState], SimState]:
+    def make_advance(self, sort_static=None) -> Callable[[SimState], SimState]:
+        """sort_static: None -> the fused-path sort rides a step%sortK
+        lax.cond (a cond costs ~30-130 us on the tunneled chip even when
+        false); True/False -> sort unconditionally / never (make_multi_step
+        builds statically-phased sortK groups from the pair, eliminating
+        the per-step cond)."""
         g = self.grid
         if self.pallas_window:
             # the kernel's h-major table slice floors w0//128: a non-128-
@@ -1078,23 +1082,31 @@ class Simulation:
                                    for k, s in enumerate(ss)]
                             return (tuple(o[0] for o in out),
                                     tuple(o[1] for o in out))
-                        species_t, homes_t = jax.lax.cond(
-                            step % sortK == 0, _sort_all,
-                            lambda ss, hh: (ss, hh),
-                            tuple(species),
-                            tuple(diag[f"_chart_home{k}"]
-                                  for k in range(nsp)))
+                        hh0 = tuple(diag[f"_chart_home{k}"]
+                                    for k in range(nsp))
+                        if sort_static is None:
+                            species_t, homes_t = jax.lax.cond(
+                                step % sortK == 0, _sort_all,
+                                lambda ss, hh: (ss, hh),
+                                tuple(species), hh0)
+                        elif sort_static:
+                            species_t, homes_t = _sort_all(
+                                tuple(species), hh0)
+                        else:
+                            species_t, homes_t = tuple(species), hh0
                         species = list(species_t)
                         for k in range(nsp):
                             diag[f"_chart_home{k}"] = homes_t[k]
                     elif nsp:   # pre-home checkpoint: per-step fallback
-                        species = list(jax.lax.cond(
-                            step % sortK == 0,
-                            lambda ss: tuple(
-                                PP3.brick_sort_p(s, g,
-                                                 extent=sort_extents[k])
-                                for k, s in enumerate(ss)),
-                            lambda ss: ss, tuple(species)))
+                        _sort3 = lambda ss: tuple(
+                            PP3.brick_sort_p(s, g, extent=sort_extents[k])
+                            for k, s in enumerate(ss))
+                        if sort_static is None:
+                            species = list(jax.lax.cond(
+                                step % sortK == 0, _sort3,
+                                lambda ss: ss, tuple(species)))
+                        elif sort_static:
+                            species = list(_sort3(tuple(species)))
                     if sp_params:
                         homes = ([diag[f"_chart_home{k}"]
                                   for k in range(len(sp_params))]
@@ -1109,13 +1121,16 @@ class Simulation:
                     # ONE cond for every species' sort (a lax.cond costs
                     # ~28 us on this chip even inside a scanned step)
                     if sp_params:
-                        species = list(jax.lax.cond(
-                            step % sortK == 0,
-                            lambda ss: tuple(PP.bucket_sort_p(
-                                PP.remap_ghost_voxels(s, g), g, pack=1,
-                                extent=sort_extents[k])
-                                for k, s in enumerate(ss)),
-                            lambda ss: ss, tuple(species)))
+                        _sort2 = lambda ss: tuple(PP.bucket_sort_p(
+                            PP.remap_ghost_voxels(s, g), g, pack=1,
+                            extent=sort_extents[k])
+                            for k, s in enumerate(ss))
+                        if sort_static is None:
+                            species = list(jax.lax.cond(
+                                step % sortK == 0, _sort2,
+                                lambda ss: ss, tuple(species)))
+                        elif sort_static:
+                            species = list(_sort2(tuple(species)))
                     # ALL species through one kernel launch (species-pure
                     # blocks carry their own q/m via scalar prefetch):
                     # halves the call-fixed table-DMA + prep cost
@@ -1309,7 +1324,15 @@ class Simulation:
 
     def make_multi_step(self, n_sub: int) -> Callable[[SimState], SimState]:
         """n_sub steps fused into ONE dispatch via lax.scan -- essential when
-        host->device dispatch latency is high (remote/tunneled TPUs)."""
+        host->device dispatch latency is high (remote/tunneled TPUs).
+
+        NEGATIVE RESULT (round 4, measured): statically phasing the scan
+        into [sort step + (sortK-1) sort-free steps] groups to remove the
+        per-step step%sortK lax.cond benched 158.9 vs 164.4 M/s -- the
+        cond's false branch is CHEAPER than the nested-scan group
+        structure + duplicated step programs.  Do not retry blind; the
+        make_advance(sort_static=) plumbing remains for kernel-phase work
+        that needs static sort placement."""
         adv = self.make_advance()
         if self.grid.sharded:
             from .parallel.mesh import make_mesh, shard_fn

@@ -40,6 +40,11 @@ class HarrisParams:
     topology: tuple = (1, 1, 1)
     sort_interval: int = 20
     headroom: float = 1.5   # particle buffer slack (harris:178-181)
+    # Replicate the reference deck's EXACT particle load (sample/harris:
+    # 253-286 under seed_entropy(seed), rng(0) = SFMT-11213 stream) so a
+    # drift run is same-trajectory comparable to the reference built on
+    # this host (ENERGY_AXIS.md).  ~45 s of host-side RNG at 64^2 x 64ppc.
+    gold_load: bool = False
 
 
 def build(p: HarrisParams = HarrisParams()) -> Simulation:
@@ -113,6 +118,37 @@ def build(p: HarrisParams = HarrisParams()) -> Simulation:
                          lambda x, y, z: cs * b0 * math.tanh(x / L))
 
     # --- particles: Harris drifting maxwellian pairs (harris:253-286) ---
+    if p.gold_load:
+        # Bit-exact replication of the reference load loop: per pair, the
+        # x rejection draw(s), y, z uniforms, then ion normals (ux,uy,uz),
+        # then electron normals, consuming ONE shared rng(0) stream in the
+        # reference's exact order (the weibel_gold.py technique).
+        from ..utils.vpic_rng import entropy_rng
+        r = entropy_rng(p.seed, 2, rank=0, world_size=1, index=0)
+        for _ in range(int(Ni)):
+            while True:
+                x = L * math.atanh(r.uniform(-1.0, 1.0))
+                if not (x <= -0.5 * p.Lx or x >= 0.5 * p.Lx):
+                    break
+            y = r.uniform(0.0, p.Ly)
+            z = r.uniform(0.0, p.Lz)
+            ux = r.normal(0.0, uthi)
+            uy = r.normal(0.0, uthi)
+            uz = r.normal(0.0, uthi)
+            d0 = gdri * uy + math.sqrt(ux * ux + uy * uy + uz * uz + 1) \
+                * udri
+            uy, uz = d0 * cs - uz * sn, d0 * sn + uz * cs
+            sim.inject_particle(ion, x, y, z, ux, uy, uz, wi)
+            ux = r.normal(0.0, uthe)
+            uy = r.normal(0.0, uthe)
+            uz = r.normal(0.0, uthe)
+            d0 = gdre * uy + math.sqrt(ux * ux + uy * uy + uz * uz + 1) \
+                * udre
+            uy, uz = d0 * cs - uz * sn, d0 * sn + uz * cs
+            sim.inject_particle(electron, x, y, z, ux, uy, uz, we)
+        sim.meta = dict(b0=b0, n0=n0, wci=wci, wce=wce, wpe=wpe, dt=dt,
+                        kTi=kTi, kTe=kTe, Ne=Ne, Ni=Ni)
+        return sim
     rng = sim.rng(0)
     # The reference injects Ni/nproc pairs per rank with rank-local domain
     # ownership (harris:253-286); staging here is global (the deck layer

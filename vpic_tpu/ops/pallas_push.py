@@ -68,9 +68,18 @@ def _eff_bc(g: Grid, ax: int, side: int) -> int:
     """Per-axis particle BC as the kernel must treat it: any device-mesh-
     sharded axis is a remote 'wall' (crossers pre-flagged; the deck-level
     boundary_p applies the real edge BC or migrates), regardless of the
-    global-domain BC stored on the face."""
+    global-domain BC stored on the face.  A face spliced by join_domain
+    (per-face partner tables) is likewise remote: per-rank joinedness is
+    traced data the kernel's static pre-flag cannot branch on, but
+    pre-flagging ALL crossers of a joined face lets the exact XLA outlier
+    pass route them with the general path's per-rank logic
+    (grid/ops.c:119-212)."""
     if g.topology[ax] > 1:
         return P_REMOTE
+    if g.face_partners is not None:
+        face = ax + (0 if side < 0 else 3)
+        if any(v >= 0 for v in g.face_partners[face]):
+            return P_REMOTE
     return g.axis_bc(ax, side, particles=True)
 
 

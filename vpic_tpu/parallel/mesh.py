@@ -138,3 +138,40 @@ def dryrun(n_devices: int) -> None:
         jax.block_until_ready(statej.fields.ex)
         assert int(np.asarray(statej.species[0].np).sum()) == 64
         print(f"dryrun_multichip({n_devices}): irregular-join ok")
+
+    # sharded surface emitter: per-shard component lists sliced by
+    # axis_index inside the step (round-4 fix; deck/wrapper.h:310-383)
+    from ..models import emission as EM
+    sime = EM.build(EM.EmissionParams(topology=(2, 1, 1), nx=32, ny=8))
+    sime.use_pallas = False
+    statee = sime.make_step()(sime.initialize())
+    jax.block_until_ready(statee.fields.ex)
+    n_emitted = int(np.asarray(statee.species[0].live).sum())
+    assert n_emitted > 0, "sharded emitter emitted nothing"
+    print(f"dryrun_multichip({n_devices}): sharded-emitter ok "
+          f"({n_emitted} emitted)")
+
+    # 3-D brick-chart kernel on a full (2,2,2) mesh (all axes sharded)
+    if n_devices >= 8:
+        import vpic_tpu as vt
+        sim3 = vt.Simulation(seed=2)
+        sim3.define_units(1.0, 1.0)
+        n3 = 32
+        g3 = vt.partition_periodic_box(0, 0, 0, 1, 1, 1, n3, n3, n3,
+                                       2, 2, 2)
+        sim3.define_timestep(0.6 * g3.courant_length())
+        sim3.define_periodic_grid((0, 0, 0), (1, 1, 1), (n3, n3, n3),
+                                  topology=(2, 2, 2))
+        sim3.define_material("vacuum", 1.0)
+        sim3.define_field_array(damp=0.0)
+        el3 = sim3.define_species("e", -1.0, 1.0, 8192, -1, 4, 1)
+        rng3 = np.random.default_rng(0)
+        for _ in range(512):
+            sim3.inject_particle(el3, *rng3.uniform(0.01, 0.99, 3),
+                                 *rng3.normal(0, 0.3, 3), 1.0)
+        sim3.use_pallas = True
+        state3 = sim3.make_step()(sim3.initialize())
+        jax.block_until_ready(state3.fields.ex)
+        en3 = sim3.energies(state3)
+        assert bool(jax.numpy.isfinite(en3).all()), "3-D chart: non-finite"
+        print(f"dryrun_multichip({n_devices}): (2,2,2) 3-D chart ok")
