@@ -358,12 +358,24 @@ def _kernel(g: Grid, max_streak, P, V, nvp, resident, ablate, vbc_mark,
       safe = live & (loc0 >= GUARD) & (loc0 < V - GUARD)
       entry_flag = live & ~safe
       # w0 is 128-aligned, so lo = loc0 % 128 == vox % 128 for safe lanes
+      # NEGATIVE RESULT (round 4, measured): an occupancy-gated per-h
+      # scheme (each hi digit under pl.when(lanes present), masked per-h
+      # lo one-hots, (24,128)/(16,P) digit-sized dots) benched 45.6 vs
+      # 165 M/s -- Mosaic's scalar branches around MXU ops destroy the
+      # pipeline; the dense (24H,128) contraction below is 3.6x faster
+      # than "half the MACs" behind 40 branches/block.  Do not retry.
       if ablate & 8:
           oh_lo0 = jnp.zeros((P, 128), jnp.bfloat16)
+          ohT0 = jnp.zeros((128, P), jnp.bfloat16)
           ohhi0 = jnp.zeros((H, P), jnp.float32)
       else:
-          lo0 = jnp.where(safe, loc0 & 127, -1)[:, None]
-          oh_lo0 = (lane_r == lo0).astype(jnp.bfloat16)      # (P, 128)
+          lo0r = jnp.where(safe, loc0 & 127, -1)
+          oh_lo0 = (lane_r == lo0r[:, None]).astype(jnp.bfloat16)  # (P, 128)
+          # gather one-hot built TRANSPOSED (contraction dim on sublanes)
+          # so the dot below is standard (M,K)@(K,N) -- a ((1,),(1,))
+          # contraction forces a Mosaic lane<->sublane relayout per block
+          ohT0 = (jax.lax.broadcasted_iota(jnp.int32, (128, P), 0)
+                  == lo0r[None, :]).astype(jnp.bfloat16)           # (128, P)
           ohhi0 = (iota_h == (loc0 // 128)[None, :]).astype(
               jnp.float32)                                   # (H, P)
 
@@ -374,7 +386,7 @@ def _kernel(g: Grid, max_streak, P, V, nvp, resident, ablate, vbc_mark,
               tab_win = tab_scratch[pl.ds(s24, 24 * H), :]   # (24H, 128)
           else:
               tab_win = tab_scratch[:, :]
-          G2 = _hilo_dot(tab_win, oh_lo0, ((1,), (1,)))      # (24H, P)
+          G2 = _hilo_dot(tab_win, ohT0, ((1,), (0,)))        # (24H, P)
           rows = G2[0:24] * ohhi0[0]
           for h in range(1, H):
               rows = rows + G2[24 * h:24 * (h + 1)] * ohhi0[h]   # (24, P)
@@ -876,7 +888,22 @@ def fold_ghost_acc_T(acc_T, g: Grid):
     import numpy as np
     rows = acc_T.shape[0]
     a = acc_T[:12, :g.nv].reshape(12, g.NZ, g.NY, g.NX)
-    if _y_unwrapped(g):
+    if _y_unwrapped(g) and g.ny >= 4:
+        # Image-plane folds are roll-by-constant maps (plane-0 row r ->
+        # canonical row (r-3)%ny+1, plane-2 -> (r+1)%ny+1), so each is TWO
+        # static slice-adds.  The previous .at[...].add scatter with the
+        # constant index vector cost ~0.28 ms/step at 64^2 (scatters are
+        # latency-bound on this chip); slices are ~free.
+        ny, NY = g.ny, g.NY
+        p1 = a[:, 1]
+        a0, a2 = a[:, 0], a[:, 2]
+        p1 = p1.at[:, 1:ny, :].add(a0[:, 3:NY, :])          # m0 segment A
+        p1 = p1.at[:, ny - 2:ny + 1, :].add(a0[:, 0:3, :])  # m0 segment B
+        p1 = p1.at[:, 2:ny + 1, :].add(a2[:, 0:ny - 1, :])  # m2 segment A
+        p1 = p1.at[:, 1:4, :].add(a2[:, ny - 1:NY, :])      # m2 segment B
+        z = jnp.zeros_like(p1)
+        a = jnp.stack([z, p1, z], axis=1)
+    elif _y_unwrapped(g):
         r = np.arange(g.NY)
         m0 = (r - 3) % g.ny + 1         # plane-0 row r holds y_u = r - NY
         m2 = (r + 1) % g.ny + 1         # plane-2 row r holds y_u = r + NY
@@ -1059,10 +1086,18 @@ def expand_y_images_T(tab_T, g: Grid):
     import numpy as np
     rows = tab_T.shape[0]
     z1 = tab_T[:, g.sz:2 * g.sz].reshape(rows, g.NY, g.NX)
-    m0 = (np.arange(g.NY) - 3) % g.ny + 1
-    m2 = (np.arange(g.NY) + 1) % g.ny + 1
-    return (tab_T.at[:, :g.sz].set(z1[:, m0].reshape(rows, -1))
-            .at[:, 2 * g.sz:3 * g.sz].set(z1[:, m2].reshape(rows, -1)))
+    if g.ny >= 4:
+        # constant roll-by-k row maps -> TWO static concats per plane
+        # (constant-index row gathers pay the per-row gather floor)
+        ny = g.ny
+        p0 = jnp.concatenate([z1[:, ny - 2:ny + 1], z1[:, 1:ny]], axis=1)
+        p2 = jnp.concatenate([z1[:, 2:ny + 1], z1[:, 1:4]], axis=1)
+    else:
+        m0 = (np.arange(g.NY) - 3) % g.ny + 1
+        m2 = (np.arange(g.NY) + 1) % g.ny + 1
+        p0, p2 = z1[:, m0], z1[:, m2]
+    return (tab_T.at[:, :g.sz].set(p0.reshape(rows, -1))
+            .at[:, 2 * g.sz:3 * g.sz].set(p2.reshape(rows, -1)))
 
 
 def advance_p_fused(sp: SpeciesState, fcoef, g: Grid, qsp: float, msp: float,
