@@ -60,6 +60,7 @@ _SLOW = {
     "test_interior_absorber_general_path",
     "test_joined_deck_runs_fused_with_parity",
     "test_chart2d_interior_absorber_matches_general",
+    "test_gold_load_step0_energies_match_reference",
 }
 
 

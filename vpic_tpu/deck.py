@@ -903,17 +903,18 @@ class Simulation:
         if g.nz > 1:
             fused3 = chart_ok and (on_tpu or self.use_pallas is True)
         elif self.pallas_chart2d == "auto":
-            # MEASURED v5e cutover (harris, 50-step dispatches, sticky
-            # homes): windows win at 64^2 (120 vs 92 M/s), charts win
-            # from 96^2 up (119/137 vs 117/121 at x64/x256) and by 1.75x
-            # at 256^2x64 (112 vs 64) -- the window footprint grows
-            # ~(2*sortK+2)*NX while charts stay at 768 lanes.  Decks
-            # with lane-reordering ops would lose the chart sort-cycle
-            # amortization (sortK -> 1), so they keep windows.
-            # (on_tpu: interpret-mode charts are too slow for routine CPU
-            # testing, as in 3-D; pallas_chart2d=True still forces them)
-            fused3 = (chart_ok and not reorders and on_tpu
-                      and PP.pick_window(g, sortK) >= 2048)
+            # ROUND-4 RE-MEASURED v5e cutover: the round-3 ADAPTIVE
+            # per-block windows (w0 re-anchored at each block's live-min
+            # every step) removed the window footprint's NX growth, and
+            # windows now beat 2-D charts at EVERY tier -- pure decks
+            # 145.7/151.0/128.6 vs charts 115.8/136.2/117.6 at 128^2x64 /
+            # 128^2x256 / 256^2x64 (both sortK=8), and lane-reordering
+            # (collision) decks by >2x (157.2/143.1/145.6/124.8 vs
+            # per-step-sorted charts 68.4/64.7/65.0/55.7).  The round-2
+            # chart cutover data predated adaptive windows; auto is now
+            # windows-always for 2-D.  pallas_chart2d=True still forces
+            # charts (scripts/chart_cutover_reorder.py re-measures).
+            fused3 = False
         else:
             fused3 = chart_ok and self.pallas_chart2d is True
         fused2 = (not fused3) and PP.supports(g, max_cap)
