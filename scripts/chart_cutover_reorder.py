@@ -6,7 +6,8 @@ policy kept windows for them on a guess.  This measures both kernels on a
 collision deck (langevin: reorders via shuffle_sort like the binary models
 but cheap enough that the PUSH path difference dominates) at >= 96^2 tiers.
 
-Usage: chart_cutover_reorder.py [tiers...]
+Usage: chart_cutover_reorder.py [--pure]
+(--pure: no collision op -- re-measures the plain-deck cutover table)
 """
 
 import sys
@@ -17,16 +18,20 @@ sys.path.insert(0, __file__.rsplit("/", 2)[0])
 import jax
 
 
+PURE = "--pure" in sys.argv
+
+
 def measure(nx, ny, nppc, chart, n_steps=50):
     from vpic_tpu import collision as C
     from vpic_tpu.models import harris
 
     p = harris.HarrisParams(nx=nx, ny=ny, nppc=nppc)
     sim = harris.build(p)
-    # a real lane-reordering op: langevin drag/kick on the electrons each
-    # step (collision ops force reorders -> sortK=1 on the fused path)
-    sim.collision_ops.append(C.make_langevin_op(
-        1, sim.species[1].params, kT=1e-4, nu=1e-3, interval=1))
+    if not PURE:
+        # a collision op: forces the chart path's per-step sort (sortK=1)
+        # via the reorders policy, the case item 7 asks about
+        sim.collision_ops.append(C.make_langevin_op(
+            1, sim.species[1].params, kT=1e-4, nu=1e-3, interval=1))
     sim.use_pallas = True
     sim.pallas_chart2d = bool(chart)
     use_fused, fused2, fused3, sortK = sim._fused_mode()
