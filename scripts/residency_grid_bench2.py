@@ -1,0 +1,94 @@
+"""3-pass bf16-split exact-dot variant of the in-grid compaction."""
+import sys, time, functools
+sys.path.insert(0, '/root/repo')
+import jax, jax.numpy as jnp, numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+P, S = 4096, 512
+NB = 64
+
+def make(variant):
+    def kern(pk_ref, keep_ref, opk_ref):
+        pk = pk_ref[:, :]
+        if variant == "copy":
+            opk_ref[:, :] = pk
+            return
+        kf = keep_ref[0, :]
+        R = P // 128
+        X = kf.reshape(R, 128)
+        i_id = jax.lax.broadcasted_iota(jnp.int32, (128, 128), 0)
+        j_id = jax.lax.broadcasted_iota(jnp.int32, (128, 128), 1)
+        tri = (i_id <= j_id).astype(jnp.float32)
+        hdot = functools.partial(jax.lax.dot_general,
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST)
+        row_c = hdot(X, tri)
+        row_tot = row_c[:, 127]
+        ir = jax.lax.broadcasted_iota(jnp.int32, (R, R), 0)
+        jr = jax.lax.broadcasted_iota(jnp.int32, (R, R), 1)
+        triR = (ir < jr).astype(jnp.float32)
+        off = hdot(row_tot[None, :], triR)[0]
+        pos = (row_c + off[:, None]).reshape(P) - kf
+        pos = jnp.where(kf > 0.5, pos, -1.0)
+        bdot = functools.partial(jax.lax.dot_general,
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        for s in range(P // S):
+            lo = S * s
+            w = min(2 * S, P - lo)
+            seg_pos = pos[lo:lo + w]
+            j_iota = jax.lax.broadcasted_iota(jnp.int32, (w, S), 1) + S * s
+            oh = (seg_pos[:, None] == j_iota.astype(jnp.float32))
+            x = pk[:, lo:lo+w]
+            if variant == "highest":
+                seg = hdot(x, oh.astype(jnp.float32))
+            else:  # split4: 4 bf16 passes vs exact bf16 one-hot
+                ohb = oh.astype(jnp.bfloat16)
+                h1 = x.astype(jnp.bfloat16)
+                r1 = x - h1.astype(jnp.float32)
+                h2 = r1.astype(jnp.bfloat16)
+                r2 = r1 - h2.astype(jnp.float32)
+                h3 = r2.astype(jnp.bfloat16)
+                r3 = r2 - h3.astype(jnp.float32)
+                h4 = r3.astype(jnp.bfloat16)
+                seg = (bdot(h1, ohb) + bdot(h2, ohb)) \
+                    + (bdot(h3, ohb) + bdot(h4, ohb))
+            opk_ref[:, S*s:S*(s+1)] = seg
+    def run(pk, keep):
+        return pl.pallas_call(kern,
+            grid=(NB,),
+            out_shape=jax.ShapeDtypeStruct((16, NB*P), jnp.float32),
+            in_specs=[pl.BlockSpec((16, P), lambda b: (0, b)),
+                      pl.BlockSpec((1, P), lambda b: (0, b))],
+            out_specs=pl.BlockSpec((16, P), lambda b: (0, b)),
+            interpret=jax.devices()[0].platform != "tpu",
+            compiler_params=None if jax.devices()[0].platform != "tpu"
+            else pltpu.CompilerParams(dimension_semantics=("arbitrary",)),
+            )(pk, keep)
+    return run
+
+rng = np.random.default_rng(0)
+pk = jnp.asarray(rng.normal(size=(16, NB*P)).astype(np.float32))
+keep = jnp.asarray((rng.random((1, NB*P)) > 0.12).astype(np.float32))
+
+k0 = np.asarray(keep[0, :P]) > 0.5
+idx = np.nonzero(k0)[0]
+ref = np.asarray(pk)[:, :P][:, idx]
+for v in ("highest", "split4"):
+    out = jax.jit(make(v))(pk, keep)
+    got = np.asarray(out)[:, :len(idx)]
+    err = np.abs(got - ref).max()
+    print(f"{v}: max abs err {err:.2e}", flush=True)
+
+for v in ("copy", "highest", "split4"):
+    run = make(v)
+    f = jax.jit(lambda c: jax.lax.scan(lambda cc,_ : (run(cc, keep), None),
+                                       c, None, length=50)[0])
+    o = f(pk); jax.block_until_ready(o)
+    best = 1e9
+    for _ in range(3):
+        t0 = time.perf_counter(); o = f(o); jax.block_until_ready(o)
+        best = min(best, time.perf_counter()-t0)
+    print(f"{v:8s} {best*1e6/50/NB:7.2f} us/block", flush=True)
