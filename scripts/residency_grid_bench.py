@@ -2,7 +2,7 @@
 reads (16, P) from HBM, optionally compacts in VMEM, writes back --
 the structure the residency megakernel would use."""
 import sys, time, functools
-sys.path.insert(0, '/root/repo')
+sys.path.insert(0, __file__.rsplit('/', 2)[0])
 import jax, jax.numpy as jnp, numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu

@@ -1,6 +1,6 @@
 """3-pass bf16-split exact-dot variant of the in-grid compaction."""
 import sys, time, functools
-sys.path.insert(0, '/root/repo')
+sys.path.insert(0, __file__.rsplit('/', 2)[0])
 import jax, jax.numpy as jnp, numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu

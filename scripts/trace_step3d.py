@@ -2,6 +2,9 @@
 """jax.profiler trace of the scanned 3-D reconnection step (dev tool).
 
 Usage: trace_step3d.py [nx ny nz nppc [nsteps]] [--xla] [--sortk K]
+                       [--harris] [--nores]
+  --harris uses the pure harris3d deck (residency-eligible)
+  --nores  disables residency on the harris deck (per-step sort)
 """
 
 import glob
@@ -26,13 +29,23 @@ def main():
         k = a.index("--sortk")
         sortk = int(a[k + 1])
         del a[k:k + 2]
+    use_harris = "--harris" in a
+    nores = "--nores" in a
     a = [x for x in a if not x.startswith("--")]
     nx, ny, nz, nppc = ((int(x) for x in a[:4]) if len(a) >= 4
                         else (32, 32, 32, 32))
     nsteps = int(a[4]) if len(a) > 4 else 20
-    p = reconnection.ReconnectionParams(
-        nx=nx, ny=ny, nz=nz, nppc=nppc, tau_coll_interval=10 ** 9)
-    sim = reconnection.build(p)
+    if use_harris:
+        from vpic_tpu.models import harris
+        p = harris.HarrisParams(nx=nx, ny=ny, nz=nz, nppc=nppc,
+                                Lx=16.0, Ly=16.0, Lz=16.0)
+        sim = harris.build(p)
+        if nores:
+            sim.pallas_residency = False
+    else:
+        p = reconnection.ReconnectionParams(
+            nx=nx, ny=ny, nz=nz, nppc=nppc, tau_coll_interval=10 ** 9)
+        sim = reconnection.build(p)
     if xla:
         sim.use_pallas = False
     if sortk:

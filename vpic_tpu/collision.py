@@ -240,6 +240,12 @@ def make_binary_op(model: BinaryModel, spi_idx: int, spj_idx: int,
 
         def apply(args):
             species, rng, nlarge = args
+            # NOTE (round-4 change): the key schedule here moved from one
+            # split(key, 7) to per-round fold_in(base, r) when pr_rounds
+            # sub-cycling landed -- collision trajectories from decks run
+            # before that commit do not bit-reproduce across it (the
+            # statistics are unchanged; gold_load trajectory pins are
+            # collisionless and unaffected).
             base = jax.random.fold_in(rng, step)
             rng2 = jax.random.fold_in(base, pr_rounds)  # distinct from rounds
             for r in range(pr_rounds):

@@ -101,6 +101,13 @@ class Simulation:
         # 2-D brick charts ("auto" = only where the window kernel's
         # NX-proportional window gets fat; see make_advance)
         self.pallas_chart2d = "auto"
+        # 3-D per-brick bucketed residency ("auto" = on for 3-D chart
+        # decks with no lane-reordering ops): deletes the per-step global
+        # brick sort + full-capacity row gather (was ~2/3 of the 4M-tier
+        # step) in favor of in-kernel compaction + outbox/inbox exchange
+        # over the ~1-3% of lanes that change bricks; the full sort
+        # remains as an event-driven lax.cond fallback.  See ops/residency.
+        self.pallas_residency = "auto"
         # window override (lanes, multiple of 128; 0 = pick_window's
         # worst-case drift budget).  The kernel's MXU work scales with
         # window/128, and pick_window budgets ±(sortK-1) y-crossings of
@@ -693,11 +700,13 @@ class Simulation:
         leading mesh dims.  Returns (species_states, update_rhob_masks)."""
         g = self.grid
         px, py, pz = g.topology
-        out, urbs = [], []
+        out, urbs, ages = [], [], []
         for st in self.species:
             cap = st.params.capacity
             a = np.asarray([r[:10] for r in st.xs], np.float64) \
                 if st.xs else np.zeros((0, 10))
+            age = np.asarray([r[10] for r in st.xs], np.float64) \
+                if st.xs else np.zeros((0,))
             urb = np.asarray([r[11] for r in st.xs], bool) \
                 if st.xs else np.zeros((0,), bool)
             gi = a[:, 3].astype(np.int64) if len(a) else np.zeros(0, np.int64)
@@ -717,6 +726,7 @@ class Simulation:
             ibuf = np.zeros(shape, np.int32)
             lbuf = np.zeros(shape, bool)
             ubuf = np.zeros(shape, bool)
+            abuf = np.zeros(shape, np.float32)
             counts = np.zeros((px, py, pz), np.int32)
             shard_flat = (sx * py + sy_) * pz + sz_
             order = np.argsort(shard_flat, kind="stable")
@@ -737,6 +747,7 @@ class Simulation:
                 ibuf[s + (c,)] = vox[idx]
                 lbuf[s + (c,)] = True
                 ubuf[s + (c,)] = urb[idx]
+                abuf[s + (c,)] = age[idx]
                 counts[s] = c + 1
 
             def maybe_squeeze(arr):
@@ -756,7 +767,9 @@ class Simulation:
                     else jnp.int32(counts[0, 0, 0])))
             out.append(s)
             urbs.append(jnp.asarray(maybe_squeeze(ubuf)))
-        return tuple(out), tuple(urbs)
+            ages.append(jnp.asarray(maybe_squeeze(abuf))
+                        if age.any() else None)
+        return tuple(out), tuple(urbs), tuple(ages)
 
     def _build_initial_fields(self):
         """Materialize the recorded region-field ops into a FieldState (with
@@ -810,15 +823,49 @@ class Simulation:
                         "(set_domain_particle_bc) first.")
         m_global = self._material_coeffs()
         f = self._build_initial_fields()
-        species, urbs = self._pack_species()
+        species, urbs, ages = self._pack_species()
 
         def _init(state_in):
-            f, species, urbs = state_in
+            f, species, urbs, ages = state_in
             m = self._local_material_coeffs(m_global)
             rhob = f.rhob.reshape(-1)
             for st, sp, urb in zip(self.species, species, urbs):
                 rhob = P.deposit_rhob(rhob, g, sp.i, sp.dx, sp.dy, sp.dz,
                                       sp.w, -st.params.q, urb & sp.live)
+            # Aged injection (misc.cc:88-99): particles staged with
+            # age != 0 get the partial push NOW -- displacement
+            # u * age * cvac * dt / gamma through the exact streak walk
+            # (boundary interactions included: reflect bounces, absorbs
+            # kill with their rhob deposit, like move_p at injection).
+            # The walk's current deposits are discarded, matching the
+            # reference where clear_accumulator_array at the top of the
+            # first advance() wipes injection-time accumulator activity.
+            species = list(species)
+            for k, (st, agearr) in enumerate(zip(self.species, ages)):
+                if agearr is None:
+                    continue
+                sp = species[k]
+                spp = st.params
+                gam = jnp.sqrt(1.0 + sp.ux ** 2 + sp.uy ** 2 + sp.uz ** 2)
+                aged = agearr * (g.cvac * g.dt) / gam
+                disp = (sp.ux * aged * g.rdx, sp.uy * aged * g.rdy,
+                        sp.uz * aged * g.rdz)
+                zi, r_ = jnp.divmod(sp.i, g.sz)
+                yi, xi = jnp.divmod(r_, g.sy)
+                pend = jnp.full((spp.capacity,), P.DONE, jnp.int32)
+                acc0 = jnp.zeros((g.nv, 12), jnp.float32)
+                mask = sp.live & (agearr != 0.0)
+                (pos, _, coords, u, alive, pend, _, rhob) = P.streak_walk(
+                    g, spp.q, sp.w, (sp.dx, sp.dy, sp.dz), disp,
+                    (xi, yi, zi), (sp.ux, sp.uy, sp.uz), mask, sp.live,
+                    pend, acc0, rhob, self.max_streak)
+                vox2 = coords[0] + g.NX * (coords[1] + g.NY * coords[2])
+                species[k] = sp.replace(
+                    dx=pos[0], dy=pos[1], dz=pos[2], i=vox2,
+                    ux=u[0], uy=u[1], uz=u[2],
+                    w=jnp.where(alive, sp.w, 0.0), live=alive,
+                    np=jnp.sum(alive.astype(jnp.int32)))
+            species = tuple(species)
             f = f.replace(rhob=rhob.reshape(g.shape))
             f, _ = F.synchronize_tang_e_norm_b(f, g)
             f = F.compute_div_b_err(f, g)
@@ -843,9 +890,10 @@ class Simulation:
         if g.sharded:
             from .parallel.mesh import make_mesh, shard_fn
             mesh = make_mesh(g)
-            f, species = jax.jit(shard_fn(_init, g, mesh))((f, species, urbs))
+            f, species = jax.jit(shard_fn(_init, g, mesh))(
+                (f, species, urbs, ages))
         else:
-            f, species = jax.jit(_init)((f, species, urbs))
+            f, species = jax.jit(_init)((f, species, urbs, ages))
         if key is None:
             key = jax.random.PRNGKey(self._entropy.randint(0, 2**31 - 1))
         step0 = jnp.int32(0)
@@ -866,6 +914,11 @@ class Simulation:
             for k, spp in enumerate(sp_params):
                 diag[f"_chart_home{k}"] = jnp.zeros(
                     ((spp.capacity + 1023) // 1024,), jnp.int32)
+            if self._residency_mode()[0]:
+                # 0 = layout not yet bucketed: the first advance's
+                # pre-push cond runs the slack-padded brick sort once
+                diag["_res_valid"] = jnp.int32(0)
+                diag["_res_rebuckets"] = jnp.int32(0)
         if g.sharded:
             step0 = jnp.zeros(g.topology, jnp.int32)
             key = jnp.broadcast_to(key, g.topology + key.shape)
@@ -937,6 +990,45 @@ class Simulation:
                 sortK = min(sortK, PP3.CH2_HALO)
         return use_fused, fused2, fused3, sortK
 
+    def _residency_mode(self):
+        """(enabled, slack) -- per-brick bucketed residency (3-D chart
+        decks, ops/residency).  Requires a stable lane layout between
+        rebuckets: no migration, no appends, no collision shuffles, only
+        in-place custom BC handlers -- plus enough capacity for the
+        slack-padded quantized layout."""
+        g = self.grid
+        knob = self.pallas_residency
+        if knob is False or g is None:
+            return False, 0
+        supported = g.nz > 1 and not g.sharded
+        if supported:
+            use_fused, _, fused3, _ = self._fused_mode()
+            supported = use_fused and fused3
+        if supported:
+            reorders = (bool(self.emitters) or bool(self.collision_ops)
+                        or self.user_particle_injection is not None
+                        or self.user_particle_collisions is not None)
+            handlers_in_place = all(getattr(h, "in_place", False)
+                                    for h in self.pbc_handlers.values())
+            supported = (not reorders) and handlers_in_place
+        slack = 0
+        if supported:
+            from .ops import residency as RES
+            n0 = [max(len(st.xs), 1) for st in self.species]
+            caps = [st.params.capacity for st in self.species]
+            slack = RES.slack_blocks(g, n0, caps)
+            supported = slack >= 1
+        if not supported:
+            if knob is True:
+                raise ValueError(
+                    "pallas_residency=True needs a 3-D brick-chart deck "
+                    "with no lane-reordering ops (emitters/collisions/"
+                    "injection/migration), in-place BC handlers, and "
+                    "capacity headroom for at least one slack block per "
+                    "brick")
+            return False, 0
+        return True, slack
+
     def make_advance(self, sort_static=None) -> Callable[[SimState], SimState]:
         """sort_static: None -> the fused-path sort rides a step%sortK
         lax.cond (a cond costs ~30-130 us on the tunneled chip even when
@@ -976,6 +1068,11 @@ class Simulation:
         #   MEASURED v5e policy picks windows by default (auto);
         #   pallas_chart2d=True forces charts (parity-tested).
         use_fused, fused2, fused3, sortK = self._fused_mode()
+        residency_on, res_slack = self._residency_mode()
+        if residency_on:
+            from .ops import residency as RES
+            _, res_spid, res_usable = RES.static_layout(
+                [spp.params.capacity for spp in self.species])
 
         # Static per-species LIVE-slot bounds for extent sorts: the sort's
         # row gather pays a flat ~6.4 ns/row latency floor over the whole
@@ -1059,7 +1156,46 @@ class Simulation:
                         jax.random.fold_in(rng, step), 3)
                 pends, disps = [], []
                 oflags = [None] * len(sp_params)
-                if fused3:
+                res_emits = res_obx = res_ores = None
+                nsp = len(sp_params)
+
+                def _sort_all_res(ss):
+                    out = [PP3.brick_sort_p_home(
+                               s, g, extent=sort_extents[k],
+                               slack=res_slack)
+                           for k, s in enumerate(ss)]
+                    return (tuple(o[0] for o in out),
+                            tuple(o[1] for o in out))
+
+                if fused3 and residency_on:
+                    # Per-brick bucketed residency (ops/residency): the
+                    # layout is established ONCE (pre-push cond on the
+                    # carried _res_valid flag, e.g. the very first step)
+                    # and maintained incrementally by the post-push
+                    # exchange/merge below; no per-step sort.
+                    if nsp:
+                        hh0 = tuple(diag[f"_chart_home{k}"]
+                                    for k in range(nsp))
+                        species_t, homes_t = jax.lax.cond(
+                            diag["_res_valid"] == 0,
+                            lambda ss, hh: _sort_all_res(ss),
+                            lambda ss, hh: (ss, hh),
+                            tuple(species), hh0)
+                        species = list(species_t)
+                        for k in range(nsp):
+                            diag[f"_chart_home{k}"] = homes_t[k]
+                        homes = [diag[f"_chart_home{k}"]
+                                 for k in range(nsp)]
+                        (species, acc_T, oflags, _, res_emits, res_obx,
+                         res_ores) = PP3.fused_push3d_multi(
+                            species, tab_chart, acc_T, g,
+                            [(spp.q, spp.m) for spp in sp_params],
+                            max_streak=self.max_streak, homes=homes,
+                            vbc_mark=vbc is not None,
+                            residency=True, out_cap=RES.OUT_CAP,
+                            dep_terms=self.pallas_deposit_terms)
+                        species = list(species)
+                elif fused3:
                     # STICKY home maps: the brick sort emits the exact
                     # block -> brick assignment of the layout it builds;
                     # it rides the jit-carried diag dict (checkpointed,
@@ -1116,7 +1252,8 @@ class Simulation:
                             species, tab_chart, acc_T, g,
                             [(spp.q, spp.m) for spp in sp_params],
                             max_streak=self.max_streak, homes=homes,
-                            vbc_mark=vbc is not None)
+                            vbc_mark=vbc is not None,
+                            dep_terms=self.pallas_deposit_terms)
                         species = list(species)
                 else:
                     # ONE cond for every species' sort (a lax.cond costs
@@ -1180,6 +1317,45 @@ class Simulation:
                         any_out, _outlier_all, lambda c: c,
                         (tuple(species), acc_small, rhob, diag))
                     species = list(species_t)
+                if fused3 and residency_on and sp_params:
+                    # --- residency exchange: route brick-leavers to
+                    # their destination bricks and merge, or (overflow /
+                    # capped leavers / misplaced outlier survivors) fall
+                    # back to the full slack-padded brick sort.  Emitted
+                    # lanes are still resident until the merge drops
+                    # them, so the rebucket branch loses nothing. ---
+                    homes = [diag[f"_chart_home{k}"] for k in range(nsp)]
+                    free_j = RES.block_counts(species, res_emits)
+                    homes_cat = (jnp.concatenate(homes) if nsp > 1
+                                 else homes[0])
+                    res_compact, starts_j, a_j, ovf = RES.plan_exchange(
+                        res_obx, homes_cat, res_spid, res_usable,
+                        free_j, g)
+                    mis = RES.any_misplaced(species, res_emits, homes, g)
+                    trigger = ovf | (res_ores > 0) | mis
+
+                    def _rebucket(args):
+                        ss, _ = args
+                        return _sort_all_res(ss)
+
+                    def _do_merge(args):
+                        ss, hh = args
+                        return (tuple(RES.merge_p(
+                            ss, res_emits, res_compact, starts_j, a_j)),
+                            hh)
+
+                    species_t, homes_t = jax.lax.cond(
+                        trigger, _rebucket, _do_merge,
+                        (tuple(species), tuple(homes)))
+                    species = list(species_t)
+                    for k in range(nsp):
+                        diag[f"_chart_home{k}"] = homes_t[k]
+                    diag["_res_valid"] = jnp.int32(1)
+                    # cumulative fallback-sort count (perf observability:
+                    # a healthy residency deck rebuckets rarely)
+                    diag["_res_rebuckets"] = (
+                        diag["_res_rebuckets"]
+                        + trigger.astype(jnp.int32))
                 # --- emission / user injection (advance.cc:58-60, before
                 # boundary_p like the reference): runs on the standard-
                 # layout accumulator/interpolator ---

@@ -10,6 +10,22 @@ from .grid import Grid
 from .ops import fields as F
 from .state import FieldState, MaterialCoeffs
 
+# lifted+jitted shard reducers, one per (grid, e0): per-step diagnostic
+# use must not retrace/recompile on every call
+_POYNTING_LIFTED = {}
+
+
+def _poynting_lifted(g: Grid, e0: float):
+    key = (id(g), float(e0))
+    fn = _POYNTING_LIFTED.get(key)
+    if fn is None:
+        import jax
+        from .parallel.mesh import make_mesh, shard_reduce_fn
+        fn = jax.jit(shard_reduce_fn(
+            lambda ff: poynting_flux(ff, g, e0), g, make_mesh(g)))
+        _POYNTING_LIFTED[key] = fn
+    return fn
+
 
 def poynting_flux(f: FieldState, g: Grid, e0: float = 1.0):
     """Average Poynting flux through the low-x boundary plane
@@ -26,10 +42,7 @@ def poynting_flux(f: FieldState, g: Grid, e0: float = 1.0):
     Shard-local inside shard_map on decomposed grids; a global sharded
     FieldState (leading topology dims) is auto-lifted."""
     if g.sharded and f.ey.ndim > 3:
-        import jax
-        from .parallel.mesh import make_mesh, shard_reduce_fn
-        fn = lambda ff: poynting_flux(ff, g, e0)
-        return jax.jit(shard_reduce_fn(fn, g, make_mesh(g)))(f)
+        return _poynting_lifted(g, e0)(f)
     ys = slice(2, g.ny + 1) if g.ny > 1 else slice(1, 2)
     zs = slice(2, g.nz + 1) if g.nz > 1 else slice(1, 2)
     ey = f.ey[zs, ys, 2]

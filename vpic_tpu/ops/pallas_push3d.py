@@ -230,7 +230,7 @@ def brick_of(sp_i, g: Grid):
 
 
 def brick_sort_p_home(sp: SpeciesState, g: Grid, quantum: int = 1024,
-                      extent: int = 0):
+                      extent: int = 0, slack: int = 0):
     """Counting sort by home brick with per-brick slot ranges quantized up
     to the kernel block size (every block -> one brick).  Dead lanes are
     dropped (they carry no information); pad slots become dead.  Falls
@@ -244,10 +244,16 @@ def brick_sort_p_home(sp: SpeciesState, g: Grid, quantum: int = 1024,
     row gather's ~6.4 ns/row floor then skips the capacity slack -- the
     3-D path sorts EVERY step, so this is a direct step-cost cut.  The
     quantization slack (nbricks * quantum) is added here so the
-    quantized layout never overflows the sorted extent."""
+    quantized layout never overflows the sorted extent.
+
+    ``slack`` (static) adds that many EXTRA empty blocks to every brick's
+    region (including empty bricks).  The residency path (ops/residency)
+    uses this headroom to absorb cross-brick migration between rebuckets;
+    the per-step-sort path leaves it 0."""
     from .push import gather_sp_rows
     N = sp.capacity
-    E = (min(_round_up(extent + nbricks(g) * quantum, quantum), N)
+    E = (min(_round_up(extent + nbricks(g) * (1 + slack) * quantum,
+                       quantum), N)
          if extent else N)
     sl = (lambda a: a[:E]) if E < N else (lambda a: a)
     nb = nbricks(g)
@@ -256,7 +262,8 @@ def brick_sort_p_home(sp: SpeciesState, g: Grid, quantum: int = 1024,
     # ceil(capacity/quantum) shape for non-multiple capacities (lax.cond
     # branches and scan carries are shape-strict)
     src, home = _sort_src_q(b, nb, E, quantum,
-                            nhome=(N + quantum - 1) // quantum)
+                            nhome=(N + quantum - 1) // quantum,
+                            slack=slack)
     moved = gather_sp_rows(jnp.maximum(src, 0),
                            sl(sp.dx), sl(sp.dy), sl(sp.dz), sl(sp.ux),
                            sl(sp.uy), sl(sp.uz), sl(sp.w), sl(sp.i),
@@ -283,7 +290,8 @@ def brick_sort_p(sp: SpeciesState, g: Grid, quantum: int = 1024,
     return brick_sort_p_home(sp, g, quantum, extent)[0]
 
 
-def _sort_src_q(b, nb: int, N: int, quantum: int, nhome: int = 0):
+def _sort_src_q(b, nb: int, N: int, quantum: int, nhome: int = 0,
+                slack: int = 0):
     """Per-OUTPUT-slot source index for the quantized brick sort (-1 for
     gap/dead slots) plus the (nhome,) block -> home-brick map the
     layout implies (EXACT -- this is the assignment the kernel must chart
@@ -306,7 +314,7 @@ def _sort_src_q(b, nb: int, N: int, quantum: int, nhome: int = 0):
     seg_start = jnp.searchsorted(
         b_sorted, jnp.arange(nb + 1, dtype=b.dtype)).astype(jnp.int32)
     totb = seg_start[1:] - seg_start[:-1]                    # (nb,)
-    totq = ((totb + quantum - 1) // quantum) * quantum
+    totq = ((totb + quantum - 1) // quantum + slack) * quantum
     qend = jnp.cumsum(totq)
     qoff = qend - totq
     ok = qend[-1] <= N if nb else jnp.bool_(True)
@@ -335,15 +343,40 @@ def _sort_src_q(b, nb: int, N: int, quantum: int, nhome: int = 0):
     return jnp.where(ok, q_src, t_src), home
 
 
+def _prefix_excl(x, P: int):
+    """Exact exclusive prefix sum of a 0/1 f32 vector (P,) via triangular
+    matmuls (Mosaic has no cumsum; integer-exact needs HIGHEST -- one bf16
+    MXU pass drops bits past 256).  Measured in the round-4 residency
+    rig (scripts/residency_grid_bench*.py)."""
+    R = P // 128
+    X = x.reshape(R, 128)
+    i_id = jax.lax.broadcasted_iota(jnp.int32, (128, 128), 0)
+    j_id = jax.lax.broadcasted_iota(jnp.int32, (128, 128), 1)
+    tri = (i_id <= j_id).astype(jnp.float32)
+    hdot = functools.partial(
+        jax.lax.dot_general, dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST)
+    row_c = hdot(X, tri)                     # (R, 128) inclusive in-row
+    row_tot = row_c[:, 127]
+    ir = jax.lax.broadcasted_iota(jnp.int32, (R, R), 0)
+    jr = jax.lax.broadcasted_iota(jnp.int32, (R, R), 1)
+    triR = (ir < jr).astype(jnp.float32)
+    off = hdot(row_tot[None, :], triR)[0]    # (R,) exclusive row offsets
+    return (row_c + off[:, None]).reshape(P) - x
+
+
 def _kernel3d(g: Grid, max_streak, P, nbx, nby, nbz, resident, vbc_mark,
+              residency, out_cap, dep_terms,
               w0_ref,   # scalar prefetch: (nblocks,) chart starts (lanes)
               nl_ref,   # scalar prefetch: (nblocks,) live-lane counts
               qd2_ref,  # scalar prefetch: (nblocks,) per-block qdt_2mc
               qsp_ref,  # scalar prefetch: (nblocks,) per-block charge
               pk_ref,   # (9, P) packed lane state (see 2-D kernel)
               tab_ref, acc_in_ref,
-              opk_ref,  # (8, P) packed outputs
-              acc_ref, oow_ref, tab_sem, acc_sem, tab_scratch, acc_scratch):
+              opk_ref,  # (8|9, P) packed outputs (9 rows when residency:
+              #           row 8 = emitted-to-outbox mark)
+              acc_ref, oow_ref, *rest):
     """Brick-chart 3-D push with the 2-D kernel's factorized one-hot
     scheme: a chart cell loc = h*128 + l splits into digits, the gather /
     deposit contract against the (P, 128) lo one-hot on the MXU and the
@@ -354,6 +387,12 @@ def _kernel3d(g: Grid, max_streak, P, nbx, nby, nbz, resident, vbc_mark,
     sublane slice.  All species share ONE launch (species-pure blocks
     carry q/m via scalar prefetch) and lane state crosses as one packed
     matrix -- see ops/pallas_push.py for the rationale."""
+    if residency:
+        obx_ref, ores_ref = rest[0], rest[1]
+        tab_sem, acc_sem, tab_scratch, acc_scratch = rest[2:]
+    else:
+        obx_ref = ores_ref = None
+        tab_sem, acc_sem, tab_scratch, acc_scratch = rest
     B, HAL, C, S, used = chart_dims(g)
     V = S
     H = V // 128
@@ -374,6 +413,8 @@ def _kernel3d(g: Grid, max_streak, P, nbx, nby, nbz, resident, vbc_mark,
         @pl.when(bnum == 0)
         def _():
             oow_ref[0, 0] = 0
+            if residency:
+                ores_ref[0, 0] = 0
             tdma = pltpu.make_async_copy(tab_ref, tab_scratch, tab_sem)
             adma = pltpu.make_async_copy(acc_ref, acc_scratch, acc_sem)
             tdma.start()
@@ -384,6 +425,8 @@ def _kernel3d(g: Grid, max_streak, P, nbx, nby, nbz, resident, vbc_mark,
         @pl.when(bnum == 0)
         def _():
             oow_ref[0, 0] = 0
+            if residency:
+                ores_ref[0, 0] = 0
 
     # Dead-block skip (whole-dead blocks = empty bricks' pad regions)
     nl = nl_ref[bnum]
@@ -392,6 +435,9 @@ def _kernel3d(g: Grid, max_streak, P, nbx, nby, nbz, resident, vbc_mark,
     def _passthrough():
         opk_ref[0:7, :] = pk_ref[0:7, :]
         opk_ref[7, :] = jnp.zeros((P,), jnp.float32)
+        if residency:
+            opk_ref[8, :] = jnp.zeros((P,), jnp.float32)
+            obx_ref[:, :] = jnp.zeros((9, out_cap), jnp.float32)
 
     @pl.when(nl > 0)
     def _live_body():
@@ -608,13 +654,12 @@ def _kernel3d(g: Grid, max_streak, P, nbx, nby, nbz, resident, vbc_mark,
                       jnp.float32)
               else:
                   oh_lo, ohhi = reuse
-              # 3-term bf16 split of vals BEFORE the h-expansion (see the
-              # 2-D kernel): better-than-f32 deposit accuracy, bf16-only
-              # expanded tensors
+              # bf16 split of vals BEFORE the h-expansion (see the 2-D
+              # kernel): 2 terms ~2^-18 relative per deposit (matches the
+              # gather's 2-term hilo floor, the deck default), 3 terms
+              # ~2^-27 (better than f32); bf16-only expanded tensors
               v_hi = vals.astype(jnp.bfloat16)
               r1 = vals - v_hi.astype(jnp.float32)
-              v_mid = r1.astype(jnp.bfloat16)
-              v_lo = (r1 - v_mid.astype(jnp.float32)).astype(jnp.bfloat16)
               ohhi_b = ohhi.astype(jnp.bfloat16)
               dot = functools.partial(
                   jax.lax.dot_general,
@@ -622,9 +667,15 @@ def _kernel3d(g: Grid, max_streak, P, nbx, nby, nbz, resident, vbc_mark,
                   preferred_element_type=jnp.float32)
               expand = lambda vt: (ohhi_b[:, None, :]
                                    * vt[None, :, :]).reshape(16 * H, P)
-              upd = (dot(expand(v_hi), oh_lo)
-                     + dot(expand(v_mid), oh_lo)
-                     + dot(expand(v_lo), oh_lo))          # (16H, 128)
+              upd = dot(expand(v_hi), oh_lo)
+              if dep_terms >= 3:
+                  v_mid = r1.astype(jnp.bfloat16)
+                  v_lo = (r1 - v_mid.astype(jnp.float32)).astype(
+                      jnp.bfloat16)
+                  upd = (upd + dot(expand(v_mid), oh_lo)
+                         + dot(expand(v_lo), oh_lo))      # (16H, 128)
+              else:
+                  upd = upd + dot(expand(r1.astype(jnp.bfloat16)), oh_lo)
               if resident:
                   acc_scratch[pl.ds(s16, 16 * H), :] += upd
               else:
@@ -731,6 +782,50 @@ def _kernel3d(g: Grid, max_streak, P, nbx, nby, nbz, resident, vbc_mark,
       opk_ref[6, :] = jnp.where(safe, uz, pk_ref[6, :])
       opk_ref[7, :] = jnp.where(entry_flag, 1.0, 0.0)
 
+      if residency:
+          # Residency bookkeeping: any pushed lane whose FINAL cell left
+          # the brick interior (i.e. sits in the halo) is a brick-leaver.
+          # Up to out_cap leavers are copied compactly into this block's
+          # outbox tile (exact f32-HIGHEST one-hot dot; the one nonzero
+          # term per column makes the move bit-exact) and marked emitted
+          # in opk row 8 -- ops/residency.merge_p drops the marks and
+          # inserts the routed copies at their destination bricks.
+          # Leavers past out_cap simply stay resident (the halo tolerates
+          # them for another step) and are counted in ores for the
+          # rebucket trigger.
+          interior = safe
+          for ax in range(3):
+              if C[ax] == 1:
+                  continue
+              interior = (interior & (lcs[ax] >= HAL[ax])
+                          & (lcs[ax] < HAL[ax] + B[ax]))
+          leave = safe & ~interior
+          lf = leave.astype(jnp.float32)
+          posl = _prefix_excl(lf, P)
+          emit = leave & (posl < float(out_cap))
+          ores_ref[0, 0] += jnp.sum(
+              jnp.where(leave & ~emit, 1, 0))
+          tgt = jnp.where(emit, posl, -1.0)
+          colr = jax.lax.broadcasted_iota(
+              jnp.int32, (P, out_cap), 1).astype(jnp.float32)
+          oh = (tgt[:, None] == colr).astype(jnp.float32)
+          Xo = jnp.stack(
+              [jnp.where(safe, px, dx), jnp.where(safe, py, dy),
+               jnp.where(safe, pz, dz),
+               jnp.where(safe, vox_new, vox).astype(jnp.float32),
+               jnp.where(safe, ux, pk_ref[4, :]),
+               jnp.where(safe, uy, pk_ref[5, :]),
+               jnp.where(safe, uz, pk_ref[6, :]), w], axis=0)
+          obx_ref[0:8, :] = jax.lax.dot_general(
+              Xo, oh, dimension_numbers=(((1,), (0,)), ((), ())),
+              preferred_element_type=jnp.float32,
+              precision=jax.lax.Precision.HIGHEST)
+          nem = jnp.sum(emit.astype(jnp.float32))
+          obx_ref[8, :] = (jax.lax.broadcasted_iota(
+              jnp.int32, (1, out_cap), 1).astype(jnp.float32)
+              < nem).astype(jnp.float32)[0]
+          opk_ref[8, :] = emit.astype(jnp.float32)
+
     if resident:
         @pl.when(bnum == pl.num_programs(0) - 1)
         def _():
@@ -741,9 +836,11 @@ def _kernel3d(g: Grid, max_streak, P, nbx, nby, nbz, resident, vbc_mark,
 
 @functools.partial(jax.jit, static_argnames=("g", "qsps", "msps",
                                              "max_streak", "block",
-                                             "vbc_mark"))
+                                             "vbc_mark", "residency",
+                                             "out_cap", "dep_terms"))
 def _run3d(sps, tab_chart, acc_chart, g: Grid, qsps, msps,
-           max_streak=4, block=1024, homes=None, vbc_mark=False):
+           max_streak=4, block=1024, homes=None, vbc_mark=False,
+           residency=False, out_cap=128, dep_terms=3):
     """All species through ONE 3-D kernel launch: block-aligned species
     segments concatenated, per-block q/m via scalar prefetch, lane state
     packed (see ops/pallas_push._run).  Table and accumulator are
@@ -834,16 +931,28 @@ def _run3d(sps, tab_chart, acc_chart, g: Grid, qsps, msps,
     acc3 = acc_chart.reshape(16, nvh, 128).transpose(1, 0, 2).reshape(
         nvh * 16, 128)
 
+    nrow = 9 if residency else 8
+    out_specs = [pl.BlockSpec((nrow, block), lambda b, *_: (0, b)),
+                 pl.BlockSpec(memory_space=pl.ANY),
+                 pl.BlockSpec((1, 1), lambda b, *_: (0, 0),
+                              memory_space=pltpu.SMEM)]
+    out_shapes = [jax.ShapeDtypeStruct((nrow, Ntot), jnp.float32),
+                  jax.ShapeDtypeStruct((nvh * 16, 128), jnp.float32),
+                  jax.ShapeDtypeStruct((1, 1), jnp.int32)]
+    if residency:
+        out_specs += [pl.BlockSpec((9, out_cap), lambda b, *_: (0, b)),
+                      pl.BlockSpec((1, 1), lambda b, *_: (0, 0),
+                                   memory_space=pltpu.SMEM)]
+        out_shapes += [jax.ShapeDtypeStruct((9, nblocks * out_cap),
+                                            jnp.float32),
+                       jax.ShapeDtypeStruct((1, 1), jnp.int32)]
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=4,
         grid=(nblocks,),
         in_specs=[pl.BlockSpec((9, block), lambda b, *_: (0, b))]
         + [pl.BlockSpec(memory_space=pl.ANY),
            pl.BlockSpec(memory_space=pl.ANY)],
-        out_specs=[pl.BlockSpec((8, block), lambda b, *_: (0, b))]
-        + [pl.BlockSpec(memory_space=pl.ANY),
-           pl.BlockSpec((1, 1), lambda b, *_: (0, 0),
-                        memory_space=pltpu.SMEM)],
+        out_specs=out_specs,
         scratch_shapes=[pltpu.SemaphoreType.DMA, pltpu.SemaphoreType.DMA,
                         pltpu.VMEM((nvh * 24 if resident else 24 * H, 128),
                                    jnp.float32),
@@ -851,10 +960,8 @@ def _run3d(sps, tab_chart, acc_chart, g: Grid, qsps, msps,
                                    jnp.float32)],
     )
     kernel = functools.partial(_kernel3d, g, max_streak, block,
-                               nbx, nby, nbz, resident, vbc_mark)
-    out_shapes = [jax.ShapeDtypeStruct((8, Ntot), jnp.float32),
-                  jax.ShapeDtypeStruct((nvh * 16, 128), jnp.float32),
-                  jax.ShapeDtypeStruct((1, 1), jnp.int32)]
+                               nbx, nby, nbz, resident, vbc_mark,
+                               residency, out_cap, dep_terms)
     interpret = jax.devices()[0].platform != "tpu"
     outs = pl.pallas_call(
         kernel,
@@ -866,11 +973,14 @@ def _run3d(sps, tab_chart, acc_chart, g: Grid, qsps, msps,
             dimension_semantics=("arbitrary",)),
     )(w0, nlive, qd2, qw, pk, tab3, acc3)
 
-    (opk, acc3_out, oow) = outs
+    if residency:
+        (opk, acc3_out, oow, obx, ores) = outs
+    else:
+        (opk, acc3_out, oow) = outs
     acc_out = acc3_out.reshape(nvh, 16, 128).transpose(1, 0, 2).reshape(
         16, nvp)
     ovox_all = opk[3].astype(jnp.int32)
-    new_sps, oflags, off = [], [], 0
+    new_sps, oflags, emits, off = [], [], [], 0
     for sp, Np in zip(sps, Nps):
         N = sp.capacity
         sl = slice(off, off + N)
@@ -879,7 +989,11 @@ def _run3d(sps, tab_chart, acc_chart, g: Grid, qsps, msps,
             i=jnp.where(sp.live, ovox_all[sl], sp.i),
             ux=opk[4, sl], uy=opk[5, sl], uz=opk[6, sl]))
         oflags.append((opk[7, sl] > 0.5).astype(jnp.int32))
+        if residency:
+            emits.append(opk[8, sl])
         off += Np
+    if residency:
+        return new_sps, acc_out, oflags, oow[0, 0], emits, obx, ores[0, 0]
     return new_sps, acc_out, oflags, oow[0, 0]
 
 
@@ -896,13 +1010,18 @@ def fused_push3d(sp: SpeciesState, tab_chart, acc_chart, g: Grid,
 
 def fused_push3d_multi(sps, tab_chart, acc_chart, g: Grid, qms,
                        max_streak: int = 4, block: int = 1024,
-                       homes=None, vbc_mark: bool = False):
+                       homes=None, vbc_mark: bool = False,
+                       residency: bool = False, out_cap: int = 128,
+                       dep_terms: int = 3):
     """All species through ONE 3-D brick-chart launch; ``qms`` is a
     sequence of (charge, mass), ``homes`` the per-species sort-time block
     maps (brick_sort_p_home), ``vbc_mark`` whether table row 18 carries
     the interior per-voxel-BC cell mask.  Returns (species_list,
-    acc_chart, oflag_list, oow)."""
+    acc_chart, oflag_list, oow); with ``residency`` additionally
+    (emit_rows, outbox, n_uncapped) -- see ops/residency."""
     return _run3d(tuple(sps), tab_chart, acc_chart, g,
                   tuple(float(q) for q, _ in qms),
                   tuple(float(m) for _, m in qms),
-                  max_streak, block, homes=homes, vbc_mark=vbc_mark)
+                  max_streak, block, homes=homes, vbc_mark=vbc_mark,
+                  residency=residency, out_cap=out_cap,
+                  dep_terms=dep_terms)

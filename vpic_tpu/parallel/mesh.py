@@ -175,3 +175,48 @@ def dryrun(n_devices: int) -> None:
         en3 = sim3.energies(state3)
         assert bool(jax.numpy.isfinite(en3).all()), "3-D chart: non-finite"
         print(f"dryrun_multichip({n_devices}): (2,2,2) 3-D chart ok")
+
+    # custom particle-BC handler (maxwellian_reflux) on a DECOMPOSED face:
+    # every y-shard owns a piece of the low-x reflux wall, and the handler
+    # key decorrelates per shard (boundary_p.cc:36-518 analogue under
+    # shard_map)
+    import vpic_tpu as vt
+    from ..boundary_ops import maxwellian_reflux
+    simr = vt.Simulation(seed=3)
+    simr.define_units(1.0, 1.0)
+    gr = vt.partition_periodic_box(0, 0, 0, 1.0, 2.0, 0.125, 16, 16, 1,
+                                   1, 2, 1)
+    simr.define_timestep(0.6 * gr.courant_length())
+    simr.define_periodic_grid((0, 0, 0), (1.0, 2.0, 0.125), (16, 16, 1),
+                              topology=(1, 2, 1))
+    simr.define_material("vacuum", 1.0)
+    simr.define_field_array(damp=0.0)
+    elr = simr.define_species("e", -1.0, 1.0, 512, -1, 4, 1)
+    rngr = np.random.default_rng(1)
+    for _ in range(128):
+        simr.inject_particle(elr, rngr.uniform(0.02, 0.2),
+                             rngr.uniform(0.05, 1.95), 0.0625,
+                             -abs(rngr.normal(0, 0.8)),
+                             rngr.normal(0, 0.3), 0.0, 1.0)
+    simr.set_domain_particle_bc(
+        vt.BOUNDARY(-1, 0, 0),
+        maxwellian_reflux({"e": 0.3}, {"e": 0.3}))
+    simr.use_pallas = False
+    stater = simr.make_step()(simr.initialize())
+    jax.block_until_ready(stater.fields.ex)
+    nr = int(np.asarray(stater.species[0].live).sum())
+    assert nr == 128, f"reflux lost particles: {nr}"
+    print(f"dryrun_multichip({n_devices}): sharded-reflux ok")
+
+    # collisional deck (Takizuka-Abe binary pairing) on a (2,1,1) mesh:
+    # per-shard partition sort + pairing + scatter under shard_map
+    from ..models import reconnection as RC
+    simc = RC.build(RC.ReconnectionParams(
+        nx=16, ny=8, nz=1, nppc=8, Lx=8.0, Ly=4.0, Lz=1.0,
+        topology=(2, 1, 1), tau_coll_interval=1))
+    simc.use_pallas = False
+    statec = simc.make_step()(simc.initialize())
+    jax.block_until_ready(statec.fields.ex)
+    enc = simc.energies(statec)
+    assert bool(jax.numpy.isfinite(enc).all()), "sharded T&A: non-finite"
+    print(f"dryrun_multichip({n_devices}): sharded-collisional (2,1,1) ok")
