@@ -113,14 +113,16 @@ def test_residency_layout_invariant():
         st = adv(st)
     sp = st.species[0]
     home = np.asarray(st.diag["_chart_home0"])
+    E = len(home) * 1024            # residency extent (sliced layout)
     live = np.asarray(sp.live)
-    br = np.asarray(PP3.brick_of(jnp.maximum(sp.i, 1), g))
-    hl = np.repeat(home, 1024)[:sp.capacity]
-    assert (br[live] == hl[live]).all()
+    assert not live[E:].any()       # all live lanes inside the extent
+    br = np.asarray(PP3.brick_of(jnp.maximum(sp.i, 1), g))[:E]
+    hl = np.repeat(home, 1024)
+    lv = live[:E]
+    assert (br[lv] == hl[lv]).all()
     assert int(st.diag["_res_valid"]) == 1
     # live lanes are packed at the front of every block
-    lv = np.pad(live, (0, (-len(live)) % 1024)).reshape(-1, 1024)
-    for row in lv:
+    for row in lv.reshape(-1, 1024):
         n = row.sum()
         assert row[:n].all()
 
@@ -150,7 +152,7 @@ def test_plan_exchange_routes_and_allocates():
     valid = rng.random(nblocks * out_cap) < 0.2
     obx[8] = valid
     obx[3, ~valid] = 0.0
-    compact, starts, a_j, ovf = RES.plan_exchange(
+    compact, starts, a_j, ovf, _stats = RES.plan_exchange(
         jnp.asarray(obx), jnp.asarray(homes), spid, usable, free, g,
         inb=inb)
     a_j = np.asarray(a_j)

@@ -908,17 +908,29 @@ class Simulation:
             if hasattr(cop, "diag_init"):
                 diag.update(cop.diag_init())
         if self._fused_mode()[2]:
-            # chart-kernel decks carry per-species block -> home-brick
-            # maps (written by the brick sort, read by the push); zeros
-            # here -- the first advance sorts at step 0 before pushing
-            for k, spp in enumerate(sp_params):
-                diag[f"_chart_home{k}"] = jnp.zeros(
-                    ((spp.capacity + 1023) // 1024,), jnp.int32)
-            if self._residency_mode()[0]:
-                # 0 = layout not yet bucketed: the first advance's
-                # pre-push cond runs the slack-padded brick sort once
+            res_on, res_slack = self._residency_mode()
+            if res_on:
+                # residency decks work on static [0, E) extent slices:
+                # the home maps match the sliced block count, and
+                # _res_valid = 0 makes the first advance's pre-push cond
+                # run the slack-padded brick sort once
+                from .ops import residency as _RES
+                exts = _RES.extents(
+                    g, [max(len(st.xs), 1) for st in self.species],
+                    res_slack)
+                for k, E in enumerate(exts):
+                    diag[f"_chart_home{k}"] = jnp.zeros(
+                        (E // 1024,), jnp.int32)
                 diag["_res_valid"] = jnp.int32(0)
                 diag["_res_rebuckets"] = jnp.int32(0)
+            else:
+                # chart-kernel decks carry per-species block ->
+                # home-brick maps (written by the brick sort, read by
+                # the push); zeros here -- the first advance sorts at
+                # step 0 before pushing
+                for k, spp in enumerate(sp_params):
+                    diag[f"_chart_home{k}"] = jnp.zeros(
+                        ((spp.capacity + 1023) // 1024,), jnp.int32)
         if g.sharded:
             step0 = jnp.zeros(g.topology, jnp.int32)
             key = jnp.broadcast_to(key, g.topology + key.shape)
@@ -1071,8 +1083,12 @@ class Simulation:
         residency_on, res_slack = self._residency_mode()
         if residency_on:
             from .ops import residency as RES
-            _, res_spid, res_usable = RES.static_layout(
-                [spp.params.capacity for spp in self.species])
+            # static extents: the whole residency path runs on [0, E)
+            # slices -- the dead capacity tail (headroom) never moves
+            res_exts = RES.extents(
+                g, [max(len(st.xs), 1) for st in self.species],
+                res_slack)
+            _, res_spid, res_usable = RES.static_layout(res_exts)
 
         # Static per-species LIVE-slot bounds for extent sorts: the sort's
         # row gather pays a flat ~6.4 ns/row latency floor over the whole
@@ -1172,8 +1188,13 @@ class Simulation:
                     # layout is established ONCE (pre-push cond on the
                     # carried _res_valid flag, e.g. the very first step)
                     # and maintained incrementally by the post-push
-                    # exchange/merge below; no per-step sort.
+                    # exchange/merge below; no per-step sort.  The whole
+                    # path runs on static [0, E) extent slices: the dead
+                    # capacity tail (headroom) never moves through HBM.
                     if nsp:
+                        sp_full = list(species)
+                        species = [RES.slice_species(s, res_exts[k])
+                                   for k, s in enumerate(species)]
                         hh0 = tuple(diag[f"_chart_home{k}"]
                                     for k in range(nsp))
                         species_t, homes_t = jax.lax.cond(
@@ -1328,11 +1349,26 @@ class Simulation:
                     free_j = RES.block_counts(species, res_emits)
                     homes_cat = (jnp.concatenate(homes) if nsp > 1
                                  else homes[0])
-                    res_compact, starts_j, a_j, ovf = RES.plan_exchange(
-                        res_obx, homes_cat, res_spid, res_usable,
-                        free_j, g)
+                    res_compact, starts_j, a_j, ovf, res_stats = \
+                        RES.plan_exchange(
+                            res_obx, homes_cat, res_spid, res_usable,
+                            free_j, g)
                     mis = RES.any_misplaced(species, res_emits, homes, g)
                     trigger = ovf | (res_ores > 0) | mis
+                    import os as _os
+                    if _os.environ.get("VPIC_RES_DEBUG"):
+                        if jax.devices()[0].platform == "tpu":
+                            # tunnel has no host callbacks: latch the
+                            # last step's trigger parts into diag
+                            diag["_res_dbg"] = jnp.concatenate(
+                                [jnp.stack(
+                                    [ovf.astype(jnp.int32), res_ores,
+                                     mis.astype(jnp.int32)]),
+                                 res_stats])
+                        else:
+                            jax.debug.print(
+                                "res dbg: ovf={} ores={} mis={}",
+                                ovf, res_ores, mis)
 
                     def _rebucket(args):
                         ss, _ = args
@@ -1347,7 +1383,9 @@ class Simulation:
                     species_t, homes_t = jax.lax.cond(
                         trigger, _rebucket, _do_merge,
                         (tuple(species), tuple(homes)))
-                    species = list(species_t)
+                    species = [RES.join_species(sE, sF, res_exts[k])
+                               for k, (sE, sF) in enumerate(
+                                   zip(species_t, sp_full))]
                     for k in range(nsp):
                         diag[f"_chart_home{k}"] = homes_t[k]
                     diag["_res_valid"] = jnp.int32(1)

@@ -89,6 +89,36 @@ def slack_blocks(g: Grid, n0_list, capacities, block: int = 1024,
     return 0
 
 
+def extents(g: Grid, n0_list, slack: int, block: int = 1024):
+    """Static per-species residency extents: the slack-padded quantized
+    layout provably fits in the first E slots (same formula as the
+    brick sort's extent bound), so the WHOLE residency path -- packs,
+    kernels, exchange, merge -- runs on [0, E) slices and the dead
+    capacity tail never moves through HBM again.  Multiples of block."""
+    nb = nbricks(g)
+    return [_round_up(max(n0, 1), block) + nb * (1 + slack) * block
+            for n0 in n0_list]
+
+
+def slice_species(sp, E: int):
+    """View of the first E slots (residency keeps every live lane
+    inside them)."""
+    return sp.replace(dx=sp.dx[:E], dy=sp.dy[:E], dz=sp.dz[:E],
+                      i=sp.i[:E], ux=sp.ux[:E], uy=sp.uy[:E],
+                      uz=sp.uz[:E], w=sp.w[:E], live=sp.live[:E])
+
+
+def join_species(spE, sp_full, E: int):
+    """Reattach the untouched dead capacity tail."""
+    cat = lambda a, b: jnp.concatenate([a, b[E:]])
+    return sp_full.replace(
+        dx=cat(spE.dx, sp_full.dx), dy=cat(spE.dy, sp_full.dy),
+        dz=cat(spE.dz, sp_full.dz), i=cat(spE.i, sp_full.i),
+        ux=cat(spE.ux, sp_full.ux), uy=cat(spE.uy, sp_full.uy),
+        uz=cat(spE.uz, sp_full.uz), w=cat(spE.w, sp_full.w),
+        live=cat(spE.live, sp_full.live), np=spE.np)
+
+
 def block_counts(sps, emits, block: int = 1024):
     """Per-block free-slot counts AFTER the merge will drop emitted lanes:
     free_j = block - (n_live_j - n_emit_j), concatenated across species
@@ -107,10 +137,13 @@ def block_counts(sps, emits, block: int = 1024):
 
 def max_routed(nblocks: int, out_cap: int = OUT_CAP) -> int:
     """Static cap on total routed rows per step (the compact-gather
-    bound): ~1/4 of the worst case covers several times the typical
-    per-step brick-crossing fraction; exceeding it triggers the rebucket
-    fallback like any other exchange overflow."""
-    return max(32768, _round_up(nblocks * out_cap // 4, 1024))
+    bound): half the worst case = ~6% of lanes crossing bricks per step
+    (harris3d at the 4M tier measures ~4.4%; the gather costs only
+    ~5 ns/row so the slack is cheap).  Exceeding it rebuckets -- but
+    NOTE that unlike layout overflows a churn-bound overflow recurs
+    every step (the sort does not reduce crossing traffic), so a deck
+    living beyond ~6% churn should set pallas_residency=False."""
+    return max(32768, _round_up(nblocks * out_cap // 2, 1024))
 
 
 def plan_exchange(obx, homes_cat, spid, usable, free_j, g: Grid,
@@ -171,7 +204,8 @@ def plan_exchange(obx, homes_cat, spid, usable, free_j, g: Grid,
                      obx[4], obx[5], obx[6], obx[7]], axis=1)
     rows = jnp.take(mat, sorted_src[:MAXIN], axis=0)    # (MAXIN, 8)
     compact = jnp.pad(rows.T, ((0, 0), (0, 128)))       # (8, MAXIN+128)
-    return compact, starts_j, a_j, overflow
+    stats = jnp.stack([seg[NKEY], jnp.max(c_k - capsum_k)])
+    return compact, starts_j, a_j, overflow, stats
 
 
 def _bdot(x, oh):
@@ -195,21 +229,24 @@ def _bdot(x, oh):
 BAND = 128      # max keeper displacement the banded compaction covers
 
 
-def _merge_kernel(P, m_ref, rel_ref, a_ref, pk_ref, wa_ref, wb_ref,
-                  opk_ref):
-    """Per-block compaction + insertion.  pk (10, P): 8 state rows
-    [dx,dy,dz,vox,ux,uy,uz,w] + live + emit.  wa/wb: two consecutive
-    (8, 128) windows of the dest-sorted compact row matrix, fetched by
-    prefetch-scalar-driven index maps (m_ref = starts // 128) -- block-
-    granular DMA instead of a per-row gather over nblocks*inb tiles
-    (which cost ~17 ms/step at the 4M tier, measured).  This block's
+def _merge_kernel(P, m_ref, rel_ref, a_ref,
+                  dx_ref, dy_ref, dz_ref, i_ref, ux_ref, uy_ref, uz_ref,
+                  w_ref, lv_ref, em_ref, wa_ref, wb_ref,
+                  odx, ody, odz, oi, oux, ouy, ouz, ow, olv):
+    """Per-block compaction + insertion, SoA in / SoA out (direct (1, P)
+    row views of the species arrays: packing 10 rows + unpacking 9 for a
+    separate matrix cost ~4 ms/step of pure XLA copies at the 4M tier).
+    wa/wb: two consecutive (8, 128) windows of the dest-sorted compact
+    row matrix, fetched by prefetch-scalar-driven index maps (m_ref =
+    starts // 128) -- block-granular DMA instead of a per-row gather
+    over nblocks*inb tiles (~17 ms/step, measured).  This block's
     newcomers are compact lanes [rel, rel + a) of the 256-lane window.
-    Output (9, P): 8 state rows + live.  Keepers (live and not emitted)
-    compact to the front in lane order; newcomers follow.  Row moves are
-    exact one-hot dots (split-bf16, bit-exact).
+    Keepers (live and not emitted) compact to the front in lane order;
+    newcomers follow.  Row moves are exact one-hot dots (split-bf16,
+    bit-exact).
 
-    The expensive part is MATERIALIZING the one-hot (P*P elementwise
-    compares), so three fast paths bound it:
+    The expensive part is MATERIALIZING the one-hot (compare area =
+    P * (S + BAND) elementwise ops), so three fast paths bound it:
     * dead blocks (no keepers, no newcomers) write dead lanes and skip
       everything;
     * blocks whose keepers don't move (no drops before the last keeper)
@@ -217,11 +254,13 @@ def _merge_kernel(P, m_ref, rel_ref, a_ref, pk_ref, wa_ref, wb_ref,
       (256, P) one-hot;
     * keepers move left by at most the number of DROPPED slots before
       them; when that is <= BAND the one-hot is evaluated on a banded
-      (S + BAND, S) window per output segment -- 2-3x less compare area.
-      Rare heavier churn (mass outlier kills) falls back to the full
-      quadratic one-hot under pl.when."""
+      (S + BAND, S) window per output segment.  Rare heavier churn
+      (mass outlier kills) falls back to the full quadratic one-hot
+      under pl.when."""
     bnum = pl.program_id(0)
-    keep = (pk_ref[8, :] > 0.5) & (pk_ref[9, :] < 0.5)
+    lvf = lv_ref[0, :]
+    emf = em_ref[0, :]
+    keep = (lvf > 0.5) & (emf < 0.5)
     kf = keep.astype(jnp.float32)
     pos = _prefix_excl(kf, P)
     nk = jnp.sum(kf)
@@ -237,13 +276,26 @@ def _merge_kernel(P, m_ref, rel_ref, a_ref, pk_ref, wa_ref, wb_ref,
     sel = (l_io >= rel) & (l_io < rel + a)
     tgtn = jnp.where(sel, nk + (l_io - rel).astype(jnp.float32), -1.0)
     ntot = nk + a.astype(jnp.float32)
-    X = pk_ref[0:8, :]
+    X = jnp.concatenate(
+        [dx_ref[:, :], dy_ref[:, :], dz_ref[:, :],
+         i_ref[:, :].astype(jnp.float32), ux_ref[:, :], uy_ref[:, :],
+         uz_ref[:, :], jnp.where(lvf > 0.5, w_ref[:, :], 0.0)], axis=0)
     S = min(512, P)
+
+    def _write(rows, live_row):
+        odx[0, :] = rows[0]
+        ody[0, :] = rows[1]
+        odz[0, :] = rows[2]
+        oi[0, :] = rows[3].astype(jnp.int32)
+        oux[0, :] = rows[4]
+        ouy[0, :] = rows[5]
+        ouz[0, :] = rows[6]
+        ow[0, :] = rows[7]
+        olv[0, :] = live_row
 
     @pl.when(ntot == 0)
     def _dead():
-        opk_ref[0:8, :] = X
-        opk_ref[8, :] = jnp.zeros((P,), jnp.float32)
+        _write(X, jnp.zeros((P,), jnp.float32))
 
     def _place_new(base_rows):
         # newcomers via one small (256, P) one-hot onto precomputed rows
@@ -254,9 +306,8 @@ def _merge_kernel(P, m_ref, rel_ref, a_ref, pk_ref, wa_ref, wb_ref,
 
     @pl.when((ntot > 0) & (disp_max == 0.0))
     def _copy():
-        keepm = keep.astype(jnp.float32)[None, :]
-        opk_ref[0:8, :] = _place_new(X * keepm)
-        opk_ref[8, :] = (lanef < ntot).astype(jnp.float32)
+        keepm = kf[None, :]
+        _write(_place_new(X * keepm), (lanef < ntot).astype(jnp.float32))
 
     @pl.when((ntot > 0) & (disp_max > 0.0) & (disp_max <= float(BAND)))
     def _banded():
@@ -274,8 +325,7 @@ def _merge_kernel(P, m_ref, rel_ref, a_ref, pk_ref, wa_ref, wb_ref,
             oh = (seg_t[:, None] == j_io).astype(jnp.bfloat16)
             segs.append(_bdot(Xp[:, lo:lo + w], oh))
         rows = segs[0] if len(segs) == 1 else jnp.concatenate(segs, 1)
-        opk_ref[0:8, :] = _place_new(rows)
-        opk_ref[8, :] = (lanef < ntot).astype(jnp.float32)
+        _write(_place_new(rows), (lanef < ntot).astype(jnp.float32))
 
     @pl.when(disp_max > float(BAND))
     def _full():
@@ -286,8 +336,7 @@ def _merge_kernel(P, m_ref, rel_ref, a_ref, pk_ref, wa_ref, wb_ref,
             oh = (tgtk[:, None] == j_iota).astype(jnp.bfloat16)
             segs.append(_bdot(X, oh))
         rows = segs[0] if len(segs) == 1 else jnp.concatenate(segs, 1)
-        opk_ref[0:8, :] = _place_new(rows)
-        opk_ref[8, :] = (lanef < ntot).astype(jnp.float32)
+        _write(_place_new(rows), (lanef < ntot).astype(jnp.float32))
 
 
 @functools.partial(jax.jit, static_argnames=("block",))
@@ -295,56 +344,64 @@ def merge_p(sps, emits, compact, starts_j, a_j, block: int = 1024):
     """All species through ONE merge launch: drop emitted lanes, compact
     survivors per block, insert routed newcomers (block j reads compact
     lanes [starts_j, starts_j + a_j) through two prefetch-indexed
-    128-lane DMA windows).  Returns the merged species list (same layout
-    contract as the brick sort: live lanes packed at the front of every
-    block)."""
+    128-lane DMA windows).  Species fields ride as direct (1, N) row
+    views (no pack/unpack matrices).  Capacities must be multiples of
+    ``block`` (the residency path slices to extent multiples).  Returns
+    the merged species list (same layout contract as the brick sort:
+    live lanes packed at the front of every block)."""
     sps = tuple(sps)
-    cols, Nps = [], []
-    for sp, emit in zip(sps, emits):
-        N = sp.capacity
-        Np = _round_up(N, block)
-        Nps.append(Np)
-        pad = lambda a: jnp.pad(a, (0, Np - N))
-        cols.append(jnp.stack([
-            pad(sp.dx), pad(sp.dy), pad(sp.dz),
-            pad(sp.i.astype(jnp.float32)),
-            pad(sp.ux), pad(sp.uy), pad(sp.uz),
-            pad(jnp.where(sp.live, sp.w, 0.0)),
-            pad(sp.live.astype(jnp.float32)), pad(emit)]))
-    pk = cols[0] if len(cols) == 1 else jnp.concatenate(cols, axis=1)
+    for sp in sps:
+        assert sp.capacity % block == 0, "merge_p needs block-multiple " \
+            "capacities (use extent slices)"
+    cat = (lambda xs: xs[0] if len(xs) == 1
+           else jnp.concatenate(xs, axis=1))
+    row = lambda name: cat([getattr(sp, name)[None, :] for sp in sps])
+    dxs, dys, dzs = row("dx"), row("dy"), row("dz")
+    i_s = row("i")
+    uxs, uys, uzs, ws = row("ux"), row("uy"), row("uz"), row("w")
+    lvs = cat([sp.live.astype(jnp.float32)[None, :] for sp in sps])
+    ems = cat([e[None, :] for e in emits])
+    Nps = [sp.capacity for sp in sps]
     Ntot = sum(Nps)
     nblocks = Ntot // block
     nwin = compact.shape[1] // 128
     m_j = jnp.clip(starts_j // 128, 0, nwin - 2)
     rel_j = starts_j - 128 * m_j
     interpret = jax.devices()[0].platform != "tpu"
+    rspec = pl.BlockSpec((1, block), lambda b, *_: (0, b))
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=3,
         grid=(nblocks,),
-        in_specs=[pl.BlockSpec((10, block), lambda b, *_: (0, b)),
-                  pl.BlockSpec((8, 128), lambda b, m, r, a: (0, m[b])),
-                  pl.BlockSpec((8, 128),
-                               lambda b, m, r, a: (0, m[b] + 1))],
-        out_specs=pl.BlockSpec((9, block), lambda b, *_: (0, b)),
+        in_specs=[rspec] * 10
+        + [pl.BlockSpec((8, 128), lambda b, m, r, a: (0, m[b])),
+           pl.BlockSpec((8, 128), lambda b, m, r, a: (0, m[b] + 1))],
+        out_specs=[rspec] * 9,
     )
-    opk = pl.pallas_call(
+    f32r = lambda: jax.ShapeDtypeStruct((1, Ntot), jnp.float32)
+    out_shapes = [f32r(), f32r(), f32r(),
+                  jax.ShapeDtypeStruct((1, Ntot), jnp.int32),
+                  f32r(), f32r(), f32r(), f32r(), f32r()]
+    outs = pl.pallas_call(
         functools.partial(_merge_kernel, block),
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((9, Ntot), jnp.float32),
+        out_shape=out_shapes,
         interpret=interpret,
         compiler_params=None if interpret else pltpu.CompilerParams(
             dimension_semantics=("arbitrary",)),
-    )(m_j, rel_j, a_j.astype(jnp.int32), pk, compact, compact)
+    )(m_j, rel_j, a_j.astype(jnp.int32),
+      dxs, dys, dzs, i_s, uxs, uys, uzs, ws, lvs, ems,
+      compact, compact)
+    (odx, ody, odz, oi, oux, ouy, ouz, ow, olv) = outs
     new_sps, off = [], 0
     for sp, Np in zip(sps, Nps):
         N = sp.capacity
         sl = slice(off, off + N)
-        live = opk[8, sl] > 0.5
+        live = olv[0, sl] > 0.5
         new_sps.append(sp.replace(
-            dx=opk[0, sl], dy=opk[1, sl], dz=opk[2, sl],
-            i=opk[3, sl].astype(jnp.int32),
-            ux=opk[4, sl], uy=opk[5, sl], uz=opk[6, sl],
-            w=opk[7, sl], live=live,
+            dx=odx[0, sl], dy=ody[0, sl], dz=odz[0, sl],
+            i=oi[0, sl],
+            ux=oux[0, sl], uy=ouy[0, sl], uz=ouz[0, sl],
+            w=ow[0, sl], live=live,
             np=jnp.sum(live.astype(jnp.int32))))
         off += Np
     return new_sps
