@@ -221,3 +221,47 @@ def test_merge_p_compacts_and_inserts():
         np.testing.assert_array_equal(
             np.asarray(out.i)[sl][len(keepers):len(keepers) + k],
             compact[3, starts[j]:starts[j] + k].astype(np.int32))
+
+
+@pytest.mark.slow
+def test_residency_collisional_deck():
+    """Built-in collision ops with a static interval >= 2 are allowed on
+    the residency path: the layout is invalidated (rebucket pre-push) on
+    exactly the collision steps.  Particle count is conserved and the
+    energies stay within the collision-stream decorrelation envelope of
+    the general path (lane order differs between paths, so the per-cell
+    shuffles draw different pairings -- same as chart-vs-general)."""
+    from vpic_tpu.models import reconnection
+    outs = []
+    for pallas in (False, True):
+        p = reconnection.ReconnectionParams(
+            nx=16, ny=16, nz=16, nppc=16, Lx=16., Ly=16., Lz=16.,
+            tau_coll_interval=2)
+        sim = reconnection.build(p)
+        sim.use_pallas = pallas
+        if pallas:
+            assert sim._residency_mode()[0]
+        st = sim.initialize()
+        adv = jax.jit(sim.make_advance())
+        e0 = np.asarray(sim.energies(st)).sum()
+        for _ in range(5):
+            st = adv(st)
+        outs.append((np.asarray(sim.energies(st)),
+                     sum(int(np.asarray(s.live).sum())
+                         for s in st.species), e0))
+    (e_g, n_g, e0_g), (e_r, n_r, e0_r) = outs
+    assert n_g == n_r
+    # both paths conserve their own total energy tightly
+    assert abs(e_r.sum() - e0_r) / e0_r < 1e-2
+    # and agree to the collision-decorrelation envelope
+    assert np.abs(e_g - e_r).max() / np.abs(e_g).max() < 1e-2
+
+
+def test_residency_interval1_collisions_refused():
+    from vpic_tpu.models import reconnection
+    p = reconnection.ReconnectionParams(
+        nx=16, ny=16, nz=16, nppc=16, Lx=16., Ly=16., Lz=16.,
+        tau_coll_interval=1)
+    sim = reconnection.build(p)
+    sim.use_pallas = True
+    assert not sim._residency_mode()[0]

@@ -270,6 +270,7 @@ def make_binary_op(model: BinaryModel, spi_idx: int, spj_idx: int,
         return list(species), rng, diag
 
     op.has_diag = True
+    op.interval = interval     # static cadence (residency invalidation)
     if tally:
         op.diag_init = lambda: {tally_key: jnp.zeros((), jnp.int32)}
     return op
@@ -392,6 +393,7 @@ def make_unary_op(sp_idx: int, rate_constant: Callable, collide: Callable,
                                     lambda a: a, (tuple(species), rng))
         return list(species), rng
 
+    op.interval = interval     # static cadence (residency invalidation)
     return op
 
 
@@ -448,6 +450,7 @@ def make_langevin_op(sp_idx: int, sp: SpeciesParams, kT: float, nu: float,
                                     lambda a: a, (tuple(species), rng))
         return list(species), rng
 
+    op.interval = interval     # static cadence (residency invalidation)
     return op
 
 

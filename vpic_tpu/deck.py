@@ -1017,7 +1017,16 @@ class Simulation:
             use_fused, _, fused3, _ = self._fused_mode()
             supported = use_fused and fused3
         if supported:
-            reorders = (bool(self.emitters) or bool(self.collision_ops)
+            # Built-in collision ops with a static interval >= 2 are
+            # allowed: they shuffle lanes only on their cadence, and the
+            # advance invalidates the layout exactly on those steps
+            # (rebucket pre-push) -- the full sort runs every interval
+            # steps instead of every step.  interval <= 1 would rebucket
+            # every step (strictly worse than the per-step-sort path).
+            coll_ok = all(getattr(op, "interval", 0) >= 2
+                          or getattr(op, "interval", 1) <= 0  # never fires
+                          for op in self.collision_ops)
+            reorders = (bool(self.emitters) or not coll_ok
                         or self.user_particle_injection is not None
                         or self.user_particle_collisions is not None)
             handlers_in_place = all(getattr(h, "in_place", False)
@@ -1197,8 +1206,15 @@ class Simulation:
                                    for k, s in enumerate(species)]
                         hh0 = tuple(diag[f"_chart_home{k}"]
                                     for k in range(nsp))
+                        # collision cadences (static) shuffle lanes just
+                        # above: rebucket on exactly those steps
+                        relayout = diag["_res_valid"] == 0
+                        for op in collision_ops:
+                            if op.interval > 0:
+                                relayout = relayout | (
+                                    step % op.interval == 0)
                         species_t, homes_t = jax.lax.cond(
-                            diag["_res_valid"] == 0,
+                            relayout,
                             lambda ss, hh: _sort_all_res(ss),
                             lambda ss, hh: (ss, hh),
                             tuple(species), hh0)
