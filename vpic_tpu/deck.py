@@ -1285,12 +1285,19 @@ class Simulation:
                         homes = ([diag[f"_chart_home{k}"]
                                   for k in range(len(sp_params))]
                                  if have_homes else None)
+                        # 2-D charts keep the historical 3-term deposit
+                        # (their parity oracles -- e.g. the interior-
+                        # absorber survivor-count match -- are exact-
+                        # count tests tuned to better-than-f32 deposits);
+                        # 3-D uses the knob (2-term measured ~4% faster
+                        # at the 4M tier, drift-neutral)
                         species, acc_T, oflags, _ = PP3.fused_push3d_multi(
                             species, tab_chart, acc_T, g,
                             [(spp.q, spp.m) for spp in sp_params],
                             max_streak=self.max_streak, homes=homes,
                             vbc_mark=vbc is not None,
-                            dep_terms=self.pallas_deposit_terms)
+                            dep_terms=(self.pallas_deposit_terms
+                                       if g.nz > 1 else 3))
                         species = list(species)
                 else:
                     # ONE cond for every species' sort (a lax.cond costs
